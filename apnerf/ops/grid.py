@@ -1,0 +1,147 @@
+"""Voxel-grid trilinear interpolation, multi-scale sampling, resize, TV.
+
+TPU-native replacements for the reference's ``F.grid_sample`` path
+(lib/tineuvox.py:379-419), ``F.interpolate(trilinear, align_corners=True)``
+grid rescale (lib/tineuvox.py:372) and the ``total_variation_add_grad`` CUDA
+kernel (lib/cuda/total_variation_kernel.cu:13-67; here expressed as a loss so
+XLA fuses its gradient into the step).
+
+Grid layout: ``[X, Y, Z, C]`` (channels last — natural for TPU gathers and
+for feeding the 128-lane MLPs downstream).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_interp(grid, xyz, xyz_min, xyz_max):
+    """Trilinear sample of ``grid [X,Y,Z,C]`` at world points ``xyz [..., 3]``.
+
+    Equivalent to torch ``F.grid_sample(align_corners=True,
+    padding_mode='zeros')`` with coordinates normalised by the bbox
+    (reference ``TiNeuVox.grid_sampler``, lib/tineuvox.py:379-394): world bbox
+    min maps to index 0, bbox max maps to index ``size-1``; out-of-range
+    corners contribute zero.
+    """
+    shape = jnp.asarray(grid.shape[:3], jnp.float32)
+    u = (xyz - xyz_min) / (xyz_max - xyz_min) * (shape - 1.0)
+    return _interp_at_indices(grid, u)
+
+
+def _interp_at_indices(grid, u):
+    """Trilinear interp at fractional voxel indices ``u [..., 3]``."""
+    sx, sy, sz, _ = grid.shape
+    lead = u.shape[:-1]
+    u = u.reshape(-1, 3)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    frac = u - i0
+    i1 = i0 + 1
+
+    def inb(i, size):
+        return (i >= 0) & (i < size)
+
+    grid_flat = grid.reshape(-1, grid.shape[-1])
+    out = 0.0
+    for dx in (0, 1):
+        ix = i1[:, 0] if dx else i0[:, 0]
+        wx = frac[:, 0] if dx else 1.0 - frac[:, 0]
+        for dy in (0, 1):
+            iy = i1[:, 1] if dy else i0[:, 1]
+            wy = frac[:, 1] if dy else 1.0 - frac[:, 1]
+            for dz in (0, 1):
+                iz = i1[:, 2] if dz else i0[:, 2]
+                wz = frac[:, 2] if dz else 1.0 - frac[:, 2]
+                ok = inb(ix, sx) & inb(iy, sy) & inb(iz, sz)
+                lin = (jnp.clip(ix, 0, sx - 1) * sy
+                       + jnp.clip(iy, 0, sy - 1)) * sz + jnp.clip(iz, 0, sz - 1)
+                vals = grid_flat[lin]
+                w = (wx * wy * wz) * ok.astype(grid.dtype)
+                out = out + vals * w[:, None]
+    return out.reshape(*lead, grid.shape[-1])
+
+
+def pad_to_mult4(grid):
+    """Zero-pad each spatial dim to ``ceil((n-1)/4)*4 + 1`` on the high side
+    (reference ``mult_dist_interp`` padding, lib/tineuvox.py:404-407)."""
+    pads = []
+    for d in range(3):
+        n = grid.shape[d]
+        pads.append(int(math.ceil((n - 1) / 4.0) * 4 - n + 1))
+    return jnp.pad(grid, ((0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
+
+
+def mult_dist_interp(grid, xyz, xyz_min, xyz_max):
+    """Multi-scale (stride 1/2/4) trilinear features, concatenated on channels.
+
+    Mirrors reference ``TiNeuVox.mult_dist_interp`` (lib/tineuvox.py:402-419):
+    the grid is zero-padded to a 4k+1 size; all three scales are sampled with
+    the SAME bbox-normalised coordinate, i.e. normalised coord 1 maps to index
+    ``padded_size-1`` of each (strided) grid.
+    """
+    g = pad_to_mult4(grid.astype(jnp.float32))
+    shape_l = jnp.asarray(g.shape[:3], jnp.float32)
+    unit = (xyz - xyz_min) / (xyz_max - xyz_min)
+    vox_l = _interp_at_indices(g, unit * (shape_l - 1.0))
+    g_m = g[::2, ::2, ::2]
+    vox_m = _interp_at_indices(g_m, unit * (jnp.asarray(g_m.shape[:3], jnp.float32) - 1.0))
+    g_s = g[::4, ::4, ::4]
+    vox_s = _interp_at_indices(g_s, unit * (jnp.asarray(g_s.shape[:3], jnp.float32) - 1.0))
+    return jnp.concatenate([vox_l, vox_m, vox_s], axis=-1)
+
+
+def resize_trilinear(grid, new_shape):
+    """align_corners=True trilinear resize of ``grid [X,Y,Z,C]``.
+
+    Matches ``F.interpolate(..., mode='trilinear', align_corners=True)`` used
+    by progressive grid upscaling (reference lib/tineuvox.py:372).
+    """
+    axes_u = []
+    for d, (src, dst) in enumerate(zip(grid.shape[:3], new_shape)):
+        if dst == 1:
+            axes_u.append(jnp.zeros((1,), jnp.float32))
+        else:
+            axes_u.append(jnp.arange(dst, dtype=jnp.float32) * (src - 1) / (dst - 1))
+    u = jnp.stack(jnp.meshgrid(*axes_u, indexing="ij"), axis=-1)
+    return _interp_at_indices(grid, u)
+
+
+def total_variation(grid, mask=None):
+    """Mean clamped-6-neighbour TV of the grid, expressed as a loss.
+
+    The reference adds the TV *gradient* directly into ``feature.grad``
+    (total_variation_kernel.cu:13-67): grad_i += weight * sum_n clamp(v_i -
+    v_n, -1, 1) over the 6 neighbours, i.e. the gradient of
+    ``sum Huber-like |v_i - v_n|`` with slope clamped to 1. We use the exact
+    potential whose gradient is that clamped difference:
+    ``phi(d) = 0.5*d^2`` for |d|<=1 else ``|d| - 0.5``, summed over the three
+    forward differences (each edge contributes to both endpoints in the CUDA
+    version; the potential counts each edge once, its autodiff gradient then
+    touches both endpoints exactly like the kernel).
+
+    ``mask`` (sparse mode): only edges where at least one endpoint is active
+    contribute, approximating the CUDA ``dense_mode=False`` grad!=0 skip.
+    Returns the SUM of edge potentials divided by the number of voxels, so the
+    caller's ``weight * world_size.max()/128`` scaling (lib/tineuvox.py:374-377)
+    carries over.
+    """
+    def phi(d):
+        ad = jnp.abs(d)
+        return jnp.where(ad <= 1.0, 0.5 * d * d, ad - 0.5)
+
+    total = 0.0
+    n = grid.shape[0] * grid.shape[1] * grid.shape[2]
+    for axis in range(3):
+        d = jnp.diff(grid, axis=axis)
+        p = phi(d)
+        if mask is not None:
+            sl_a = [slice(None)] * 3
+            sl_b = [slice(None)] * 3
+            sl_a[axis] = slice(None, -1)
+            sl_b[axis] = slice(1, None)
+            m = mask[tuple(sl_a)] | mask[tuple(sl_b)]
+            p = jnp.where(m[..., None], p, 0.0)
+        total = total + p.sum()
+    return total / n
