@@ -1,0 +1,160 @@
+"""Training-ray preparation (mask-cache sampling) and on-device ray synthesis.
+
+Covers reference ``get_training_rays_in_maskcache_sampling`` (both the stage-1
+variant, lib/tineuvox.py:800-864, and the stage-2 variant with
+``index_to_times``/``index_to_cam``, lib/temporalpoints.py:803-873) with a
+TPU-first twist: instead of materialising per-pixel ray origins/directions on
+the host (gigabytes for the video datasets), we keep a compact pixel record
+(image id, pixel id, rgb, mask) and synthesise rays *inside the jitted train
+step* from the camera table — a few FLOPs per ray, no host gathers of ray
+data, no HBM-resident ray store.
+
+Note: the reference's ``pix_to_ray`` indirection stores *global* pixel ids
+but indexes *compacted* ray arrays; that is only consistent because the
+stage-1/2 hit-masks are all-true in practice (the scene bbox is the union of
+camera frustums, so every ray hits it). Here pixel records are compacted
+correctly regardless of the mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rays as rayops
+
+
+def pixels_to_rays(Ks, poses, cam_idx, pix_id, H: int, W: int,
+                   inverse_y=False, flip_x=False, flip_y=False,
+                   mode="center"):
+    """Rays for a batch of (camera, flat-pixel-id) pairs, on device.
+
+    Matches ``get_rays`` (lib/tineuvox.py:675-703) per pixel. ``Ks`` [C,3,3],
+    ``poses`` [C,4,4] live on device; ``cam_idx`` [B], ``pix_id`` [B].
+    Returns (rays_o, rays_d, viewdirs), each [B, 3].
+    """
+    y = (pix_id // W).astype(jnp.float32)
+    x = (pix_id % W).astype(jnp.float32)
+    if flip_x:
+        x = (W - 1) - x
+    if flip_y:
+        y = (H - 1) - y
+    if mode == "center":
+        i = x + 0.5
+        j = y + 0.5
+    else:
+        i, j = x, y
+    K = Ks[cam_idx]
+    c2w = poses[cam_idx]
+    if inverse_y:
+        dirs = jnp.stack([(i - K[:, 0, 2]) / K[:, 0, 0],
+                          (j - K[:, 1, 2]) / K[:, 1, 1],
+                          jnp.ones_like(i)], -1)
+    else:
+        dirs = jnp.stack([(i - K[:, 0, 2]) / K[:, 0, 0],
+                          -(j - K[:, 1, 2]) / K[:, 1, 1],
+                          -jnp.ones_like(i)], -1)
+    rays_d = jnp.einsum("bj,bij->bi", dirs, c2w[:, :3, :3])
+    rays_o = c2w[:, :3, 3]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_o, rays_d, viewdirs
+
+
+@dataclasses.dataclass
+class RayIndex:
+    """Compact host-side index of training pixels."""
+    rgb: np.ndarray            # [N, 3] (uint8 or float32, dataset dtype)
+    mask: np.ndarray           # [N] float32 foreground mask value
+    pix_id: np.ndarray         # [N] int32 flat pixel index within its image
+    img_of: np.ndarray         # [N] int32 image index (into per-image tables)
+    img_time: np.ndarray       # [n_images] float32
+    img_cam: np.ndarray        # [n_images] int32
+    index_to_times: Dict[float, Tuple[int, int]]
+    H: int
+    W: int
+
+    @property
+    def n(self) -> int:
+        return len(self.rgb)
+
+    def gather(self, sel: np.ndarray):
+        """Host gather of a batch -> (rgb, mask, time, cam, pix_id)."""
+        img = self.img_of[sel]
+        rgb = self.rgb[sel]
+        if rgb.dtype == np.uint8:
+            rgb = rgb.astype(np.float32) / 255.0
+        return (rgb, self.mask[sel], self.img_time[img],
+                self.img_cam[img], self.pix_id[sel])
+
+
+def camera_hit_masks(poses, Ks, H, W, xyz_min, xyz_max, near, far,
+                     inverse_y=False, flip_x=False, flip_y=False):
+    """Per-camera boolean hit masks against the scene bbox (the reference's
+    chunked ``model.get_mask`` loop, lib/tineuvox.py:828-832)."""
+    n_cams = len(poses)
+    masks = np.zeros((n_cams, H * W), bool)
+
+    @jax.jit
+    def one_cam(K, c2w):
+        pix = jnp.arange(H * W, dtype=jnp.int32)
+        cam = jnp.zeros_like(pix)
+        ro, rd, _ = pixels_to_rays(K[None], c2w[None], cam, pix, H, W,
+                                   inverse_y=inverse_y, flip_x=flip_x,
+                                   flip_y=flip_y)
+        return rayops.rays_hit_bbox(ro, rd, xyz_min, xyz_max, near, far)
+
+    for c in range(n_cams):
+        masks[c] = np.asarray(one_cam(jnp.asarray(Ks[c]),
+                                      jnp.asarray(poses[c])))
+    return masks
+
+
+def build_ray_index(images, masks_imgs, times, img_to_cam, poses, Ks, H, W,
+                    xyz_min, xyz_max, near, far, inverse_y=False,
+                    flip_x=False, flip_y=False) -> RayIndex:
+    """Build the compact training-pixel index with bbox-mask filtering.
+
+    ``images`` [n_img, H, W, 3] (any dtype), ``masks_imgs`` [n_img, H, W, 1],
+    ``times`` [n_img], ``img_to_cam`` [n_img] -> camera row in poses/Ks.
+    """
+    cam_masks = camera_hit_masks(poses, Ks, H, W, xyz_min, xyz_max, near, far,
+                                 inverse_y=inverse_y, flip_x=flip_x,
+                                 flip_y=flip_y)
+    n_img = len(images)
+    rgb_parts, mask_parts, pix_parts, imgof_parts = [], [], [], []
+    index_to_times: Dict[float, Tuple[int, int]] = {}
+    top = 0
+    for k in range(n_img):
+        cm = cam_masks[img_to_cam[k]]
+        pix = np.nonzero(cm)[0].astype(np.int32)
+        n = len(pix)
+        rgb_parts.append(np.asarray(images[k]).reshape(H * W, -1)[pix, :3])
+        mask_parts.append(
+            np.asarray(masks_imgs[k], np.float32).reshape(H * W, -1)[pix, 0])
+        pix_parts.append(pix)
+        imgof_parts.append(np.full(n, k, np.int32))
+        t = float(times[k])
+        if t in index_to_times:
+            s, _ = index_to_times[t]
+            index_to_times[t] = (s, top + n)
+        else:
+            index_to_times[t] = (top, top + n)
+        top += n
+    return RayIndex(
+        rgb=np.concatenate(rgb_parts, 0),
+        mask=np.concatenate(mask_parts, 0),
+        pix_id=np.concatenate(pix_parts, 0),
+        img_of=np.concatenate(imgof_parts, 0),
+        img_time=np.asarray(times, np.float32),
+        img_cam=np.asarray(img_to_cam, np.int32),
+        index_to_times=index_to_times, H=H, W=W)
+
+
+def batch_index_generator(n, batch_size, seed=0):
+    """Random batches without replacement (lib/tineuvox.py:866-870)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        yield rng.choice(n, size=batch_size, replace=False)

@@ -1,0 +1,219 @@
+"""Stage-1 trainer: TiNeuVox backbone reconstruction.
+
+Covers reference ``scene_rep_reconstruction`` (run.py:821-1010): frustum
+bbox, progressive voxel upscaling with optimizer rebuild, mask-cache ray
+batching, photometric + background-entropy + mask-BCE + per-point-rgb +
+distortion losses, TV-on-feature, masked Adam with per-step lr decay, and the
+fp16 (here bf16) feature switch.
+
+TPU design: one jitted ``train_step`` per grid resolution (progressive
+scaling changes parameter shapes, so each segment is its own XLA program);
+rays are synthesised on device from the camera table; the whole
+loss+backward+Adam update is a single fused XLA computation.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import rays as raydata
+from ..models import tineuvox
+from ..ops import marching, rays as rayops
+from .masked_adam import create_optimizer
+
+
+def compute_bbox_by_cam_frustrm(HW, Ks, poses, i_train, img_to_cam, near, far,
+                                ndc=False, inverse_y=False, flip_x=False,
+                                flip_y=False):
+    """Scene bbox = union of train camera frustums (reference run.py:403-415)."""
+    xyz_min = np.full(3, np.inf)
+    xyz_max = np.full(3, -np.inf)
+    for idx in i_train:
+        H, W = HW[idx]
+        cam = img_to_cam[idx]
+        ro, rd, vd = rayops.get_rays_of_a_view(
+            int(H), int(W), Ks[cam], poses[cam], ndc=ndc, inverse_y=inverse_y,
+            flip_x=flip_x, flip_y=flip_y)
+        if ndc:
+            pts = np.stack([np.asarray(ro + rd * near), np.asarray(ro + rd * far)])
+        else:
+            pts = np.stack([np.asarray(ro + vd * near), np.asarray(ro + vd * far)])
+        xyz_min = np.minimum(xyz_min, pts.reshape(-1, 3).min(0))
+        xyz_max = np.maximum(xyz_max, pts.reshape(-1, 3).max(0))
+    return xyz_min, xyz_max
+
+
+def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
+                    optimizer, Ks, poses, H, W, near, far, bg,
+                    inverse_y=False, flip_x=False, flip_y=False,
+                    tv_weight_fn=None):
+    """Build the jitted stage-1 train step for one grid resolution."""
+    stepsize = float(cfg_train["_stepsize"])
+    n_steps = cfg_model_static.max_steps(stepsize)
+    w_main = float(cfg_train["weight_main"])
+    w_entropy = float(cfg_train.get("weight_entropy_last", 0.0))
+    w_mask = float(cfg_train.get("weight_mask_loss", 0.0))
+    w_rgbper = float(cfg_train.get("weight_rgbper", 0.0))
+    w_dist = float(cfg_train.get("weight_distortion", 0.0))
+    w_tv = float(cfg_train.get("weight_tv_feature", 0.0))
+
+    def loss_fn(params, batch, tv_on):
+        ro, rd, vd = raydata.pixels_to_rays(
+            Ks, poses, batch["cam"], batch["pix"], H, W,
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+        res = tineuvox.forward(params, cfg_model_static, ro, rd, vd,
+                               batch["time"][:, None], near, far, stepsize,
+                               bg, n_steps)
+        target = batch["rgb"]
+        mse = jnp.mean((res["rgb_marched"] - target) ** 2)
+        loss = w_main * mse
+        if w_entropy > 0:
+            pout = jnp.clip(res["alphainv_last"], 1e-6, 1 - 1e-6)
+            ent = -(pout * jnp.log(pout) + (1 - pout) * jnp.log(1 - pout)).mean()
+            loss = loss + w_entropy * ent
+        if w_mask > 0:
+            pout = jnp.clip(res["alphainv_last"], 1e-6, 1 - 1e-6)
+            tgt_inv = 1.0 - batch["mask"]
+            bce = -(tgt_inv * jnp.log(pout)
+                    + (1 - tgt_inv) * jnp.log(1 - pout)).mean()
+            loss = loss + w_mask * bce
+        if w_rgbper > 0:
+            rgbper = ((res["raw_rgb"] - target[:, None, :]) ** 2).sum(-1)
+            rgbper = (rgbper * jax.lax.stop_gradient(res["weights"])).sum()
+            loss = loss + w_rgbper * rgbper / target.shape[0]
+        if w_dist > 0:
+            loss = loss + w_dist * marching.distortion_loss(
+                res["weights"], res["s"], 1.0 / res["n_max"])
+        if w_tv > 0:
+            tv = tineuvox.feature_total_variation(
+                params, cfg_model_static, w_tv / target.shape[0], True)
+            loss = loss + tv_on * tv
+        return loss, mse
+
+    @jax.jit
+    def step(params, opt_state, batch, tv_on):
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, tv_on)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state, loss, mse
+
+    return step
+
+
+def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
+                             log_every=1000, step_to_half=100000,
+                             callback=None):
+    """Run stage-1 training end to end; returns (params, model_cfg, stats)."""
+    cfg_train = cfg.train_config
+    cfg_model = cfg.model_and_render
+    n_iters = n_iters or int(cfg_train.N_iters)
+
+    xyz_min, xyz_max = compute_bbox_by_cam_frustrm(
+        data_dict["HW"], data_dict["Ks"], data_dict["poses"],
+        data_dict["i_train"], data_dict["img_to_cam"],
+        data_dict["near"], data_dict["far"], ndc=cfg.data.ndc,
+        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+        flip_y=cfg.data.flip_y)
+    wbs = float(cfg_model.world_bound_scale)
+    if abs(wbs - 1.0) > 1e-9:
+        shift = (xyz_max - xyz_min) * (wbs - 1) / 2
+        xyz_min, xyz_max = xyz_min - shift, xyz_max + shift
+
+    pg_scale = list(cfg_train.get("pg_scale", []))
+    num_voxels = int(cfg_model.num_voxels)
+    if pg_scale:
+        num_voxels = int(num_voxels / (2 ** len(pg_scale)))
+
+    model_cfg = tineuvox.TiNeuVoxConfig(
+        xyz_min=tuple(xyz_min), xyz_max=tuple(xyz_max),
+        num_voxels=num_voxels,
+        num_voxels_base=int(cfg_model.num_voxels_base),
+        voxel_dim=int(cfg_model.voxel_dim),
+        defor_depth=int(cfg_model.defor_depth),
+        net_width=int(cfg_model.net_width),
+        alpha_init=float(cfg_model.alpha_init),
+        fast_color_thres=float(cfg_model.fast_color_thres),
+        no_view_dir=bool(cfg_model.no_view_dir),
+        add_cam=bool(cfg.data.get("add_cam", False)))
+
+    key = jax.random.PRNGKey(seed)
+    params = tineuvox.init_params(key, model_cfg)
+
+    i_train = data_dict["i_train"]
+    images = data_dict["images"]
+    masks = data_dict["masks"]
+    H, W = int(data_dict["HW"][0][0]), int(data_dict["HW"][0][1])
+    ray_index = raydata.build_ray_index(
+        [images[i] for i in i_train], [masks[i] for i in i_train],
+        data_dict["times"][i_train], data_dict["img_to_cam"][i_train],
+        data_dict["poses"], data_dict["Ks"], H, W,
+        xyz_min, xyz_max, data_dict["near"], data_dict["far"],
+        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+        flip_y=cfg.data.flip_y)
+
+    Ks_dev = jnp.asarray(data_dict["Ks"])
+    poses_dev = jnp.asarray(data_dict["poses"])
+    bg = float(cfg_train.bg_col)
+    stepsize = float(cfg_model.stepsize)
+    cfg_train = dict(cfg_train)
+    cfg_train["_stepsize"] = stepsize
+
+    gen = raydata.batch_index_generator(ray_index.n, int(cfg_train["N_rand"]),
+                                        seed=seed)
+
+    def build_segment(params):
+        optimizer = create_optimizer(params, cfg_train)
+        opt_state = optimizer.init(params)
+        step = make_train_step(model_cfg, cfg_train, optimizer, Ks_dev,
+                               poses_dev, H, W, data_dict["near"],
+                               data_dict["far"], bg,
+                               inverse_y=cfg.data.inverse_y,
+                               flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+        return step, opt_state
+
+    step_fn, opt_state = build_segment(params)
+    tv_before = float(cfg_train.get("tv_before", 1e9))
+    tv_after = float(cfg_train.get("tv_after", 0))
+    tv_every = int(cfg_train.get("tv_every", 1))
+    stats = {"psnr": [], "loss": []}
+    t0 = time.time()
+
+    for global_step in range(1, n_iters + 1):
+        if global_step == step_to_half:
+            params["feature"] = params["feature"].astype(jnp.bfloat16)
+        if global_step in pg_scale:
+            n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
+            cur_voxels = int(int(cfg_model.num_voxels) / (2 ** n_rest))
+            params, model_cfg = tineuvox.scale_volume_grid(
+                params, model_cfg, cur_voxels)
+            step_fn, opt_state = build_segment(params)
+
+        sel = next(gen)
+        rgb, mval, tval, cam, pix = ray_index.gather(sel)
+        batch = {
+            "rgb": jnp.asarray(rgb, jnp.float32),
+            "mask": jnp.asarray(mval, jnp.float32),
+            "time": jnp.asarray(tval, jnp.float32),
+            "cam": jnp.asarray(cam, jnp.int32),
+            "pix": jnp.asarray(pix, jnp.int32),
+        }
+        tv_on = jnp.float32(
+            1.0 if (global_step < tv_before and global_step > tv_after
+                    and global_step % tv_every == 0) else 0.0)
+        params, opt_state, loss, mse = step_fn(params, opt_state, batch, tv_on)
+
+        if global_step % log_every == 0 or global_step == n_iters:
+            psnr = -10.0 * np.log10(float(mse))
+            stats["psnr"].append(psnr)
+            stats["loss"].append(float(loss))
+            print(f"stage1: iter {global_step:6d} | loss {float(loss):.6f} "
+                  f"| psnr {psnr:5.2f} | {time.time() - t0:.1f}s")
+            if callback is not None:
+                callback(global_step, params, model_cfg, stats)
+
+    return params, model_cfg, stats
