@@ -1,0 +1,166 @@
+"""Image/video rendering + evaluation driver.
+
+Covers reference ``render_viewpoints`` / ``render_repose``
+(run.py:80-356): chunked full-image rendering for either model family,
+PSNR/SSIM/LPIPS accumulation, results.txt, per-frame PNGs, and the skeleton
+overlay on LBS-weight renders.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..data.rays import pixels_to_rays
+from . import metrics
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def render_image(render_chunk: Callable, K, c2w, H: int, W: int,
+                 chunk: int = 8192, inverse_y=False, flip_x=False,
+                 flip_y=False, extra_keys=()):
+    """Render one full image by chunking rays through ``render_chunk``.
+
+    ``render_chunk(rays_o, rays_d, viewdirs) -> dict`` with at least
+    ``rgb_marched`` [B,3] and ``depth`` [B].
+    """
+    n = H * W
+    Kd = jnp.asarray(K, jnp.float32)[None]
+    cd = jnp.asarray(c2w, jnp.float32)[None]
+    outs: Dict[str, list] = {}
+    for start in range(0, n, chunk):
+        pix = np.arange(start, min(start + chunk, n), dtype=np.int32)
+        pad = chunk - len(pix)
+        pix_p = np.pad(pix, (0, pad))
+        ro, rd, vd = pixels_to_rays(Kd, cd, jnp.zeros(chunk, jnp.int32),
+                                    jnp.asarray(pix_p), H, W,
+                                    inverse_y=inverse_y, flip_x=flip_x,
+                                    flip_y=flip_y)
+        res = render_chunk(ro, rd, vd)
+        for k in ("rgb_marched", "depth") + tuple(extra_keys):
+            if k in res and res[k] is not None:
+                v = np.asarray(res[k])[: len(pix)]
+                outs.setdefault(k, []).append(v)
+    result = {}
+    for k, parts in outs.items():
+        v = np.concatenate(parts, 0)
+        result[k] = v.reshape(H, W, *v.shape[1:])
+    return result
+
+
+def overlay_skeleton(img, joints_2d, bones, inverse_y=False, H=None):
+    """Draw bones/joints onto a weight render (reference run.py:228-237)."""
+    if cv2 is None or joints_2d is None or bones is None:
+        return img
+    pts = np.asarray(joints_2d).astype(np.int32)
+    img = np.ascontiguousarray(img)
+    for bone in bones:
+        img = cv2.line(img, tuple(pts[bone[0]]), tuple(pts[bone[1]]),
+                       color=(0, 0, 0), thickness=1)
+    for j in range(len(pts)):
+        img = cv2.circle(img, tuple(pts[j]), radius=3, color=(0, 0, 0),
+                         thickness=-1)
+    return img
+
+
+def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
+                      gt_imgs=None, savedir=None, render_factor=0,
+                      eval_psnr=False, eval_ssim=False, eval_lpips_alex=False,
+                      eval_lpips_vgg=False, inverse_y=False, flip_x=False,
+                      flip_y=False, chunk=8192, verbose=True,
+                      extra_keys=("weights",)):
+    """Render a sequence of viewpoints; evaluate if gt given.
+
+    ``render_chunk_for(i, time) -> chunk_fn`` returns the per-view chunk
+    renderer (lets callers bind time / camera-conditioned state per view).
+    """
+    HW = np.copy(np.asarray(HW))
+    Ks = np.copy(np.asarray(Ks, np.float32))
+    if render_factor != 0:
+        HW = HW // render_factor
+        Ks[:, :2, :3] = Ks[:, :2, :3] / render_factor
+
+    rgbs, depths, weights = [], [], []
+    joints_all, bones = {}, None
+    psnrs, ssims, lp_a, lp_v = [], [], [], []
+
+    for i in range(len(render_poses)):
+        H, W = int(HW[i][0]), int(HW[i][1])
+        t = float(test_times[i])
+        chunk_fn = render_chunk_for(i, t)
+        res = render_image(chunk_fn, Ks[i], render_poses[i], H, W,
+                           chunk=chunk, inverse_y=inverse_y, flip_x=flip_x,
+                           flip_y=flip_y, extra_keys=extra_keys)
+        rgb = res["rgb_marched"]
+        rgbs.append(rgb)
+        depths.append(res.get("depth", np.zeros((H, W))))
+        if "weights" in res:
+            weights.append(res["weights"])
+        if "joints_2d" in res and res["joints_2d"] is not None:
+            j2 = res["joints_2d"]
+            if not inverse_y:
+                j2 = np.copy(j2)
+                j2[:, 0] = (HW[0, 0] - 1) - j2[:, 0]
+            joints_all[i] = j2
+            bones = res.get("bones")
+
+        if gt_imgs is not None and render_factor == 0:
+            gt = np.asarray(gt_imgs[i], np.float32)
+            if gt.dtype == np.uint8 or gt.max() > 1.5:
+                gt = gt / 255.0
+            if eval_psnr:
+                psnrs.append(metrics.psnr(rgb, gt[..., :3]))
+            if eval_ssim:
+                ssims.append(metrics.rgb_ssim(rgb, gt[..., :3], max_val=1))
+            if eval_lpips_alex:
+                lp_a.append(metrics.rgb_lpips(gt[..., :3], rgb, "alex"))
+            if eval_lpips_vgg:
+                lp_v.append(metrics.rgb_lpips(gt[..., :3], rgb, "vgg"))
+        if verbose:
+            print(f"render_viewpoints: {i + 1}/{len(render_poses)}")
+
+    if psnrs and savedir is not None:
+        with open(os.path.join(savedir, "results.txt"), "w") as f:
+            if eval_psnr:
+                f.write(f"psnr: {np.mean(psnrs)}\n")
+            if eval_ssim:
+                f.write(f"ssim: {np.mean(ssims)}\n")
+            if eval_lpips_vgg:
+                f.write(f"lpips_vgg: {np.mean(lp_v)}\n")
+            if eval_lpips_alex:
+                f.write(f"lpips_alex: {np.mean(lp_a)}\n")
+
+    if savedir is not None:
+        import imageio.v2 as imageio
+        os.makedirs(savedir, exist_ok=True)
+        for i, rgb in enumerate(rgbs):
+            imageio.imwrite(os.path.join(savedir, f"img_{i:03d}.png"),
+                            metrics.to8b(rgb))
+        for i, w in enumerate(weights):
+            imageio.imwrite(os.path.join(savedir, f"weights_{i:03d}.png"),
+                            metrics.to8b(w))
+
+    # skeleton overlay on the weight renders
+    for i in range(len(weights)):
+        if i in joints_all and bones is not None:
+            weights[i] = overlay_skeleton(weights[i], joints_all[i], bones,
+                                          inverse_y=inverse_y)
+
+    out = {
+        "rgbs": np.array(rgbs), "depths": np.array(depths),
+        "weights": np.array(weights) if weights else np.zeros(0),
+        "psnrs": psnrs, "ssims": ssims, "lpips_alex": lp_a, "lpips_vgg": lp_v,
+    }
+    return out
+
+
+def write_video(path, frames, fps=30):
+    import imageio.v2 as imageio
+    imageio.mimwrite(path, metrics.to8b(frames), fps=fps, quality=8)
