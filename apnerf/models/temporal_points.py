@@ -1,0 +1,497 @@
+"""TemporalPoints: forward-warped LBS point cloud + PointNeRF-style renderer.
+
+Functional re-implementation of the reference ``TemporalPoints``
+(lib/temporalpoints.py:30-800), TPU-first:
+
+* the ragged "sample rays in the warped-cloud bbox, drop empties, pykeops
+  KNN" pipeline becomes: dense slab-test sampling against the per-frame
+  bbox, a per-ray compaction to a static sample budget, a tiled exact KNN
+  in matmul form, and masked compositing — everything statically shaped
+  under one ``jit``;
+* rays that miss the cloud simply keep zero weights (the reference's
+  ``NoPointsException`` background fallback, lib/temporalpoints.py:26-28,
+  598-609, is the all-masked special case here);
+* the reference's ``[J,J,J]`` one-hot bmm weight merging
+  (lib/temporalpoints.py:401-414) is a single [J, J] matmul.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import encoding, nn
+from ..ops.activation import raw2alpha
+from ..ops.knn import knn
+from ..ops.marching import alpha2weights, composite
+from ..ops.rays import ray_aabb
+from . import point_warper
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class TemporalPointsConfig:
+    n_points: int
+    n_joints: int
+    feat_dim: int
+    neighbours: int = 8
+    timebase_pe: int = 8
+    posbase_pe: int = 10
+    viewbase_pe: int = 4
+    stepsize: float = 0.5
+    voxel_size: float = 0.0
+    voxel_size_ratio: float = 1.0     # from the trained backbone
+    act_shift: float = 0.0            # from the trained backbone
+    fast_color_thres: float = 1e-4
+    no_view_dir: bool = False
+    frozen_view_dir: bool = False
+    over_parameterized_rot: bool = True
+    feat_depth: int = 4
+    pose_embedding_dim: int = 0
+    eps: float = 1e-6
+    sample_budget: int = 192          # static per-ray samples after compaction
+    max_steps: int = 512              # static pre-compaction sample count
+
+    @property
+    def t_dim(self):
+        return 1 + 2 * self.timebase_pe
+
+    @property
+    def pts_ch(self):
+        return 3 + 3 * self.posbase_pe * 2
+
+    @property
+    def views_ch(self):
+        return 0 if self.no_view_dir else 3 + 3 * self.viewbase_pe * 2
+
+    @property
+    def warp_cfg(self):
+        return point_warper.WarpConfig(
+            n_joints=self.n_joints, t_dim=self.t_dim,
+            over_parameterized_rot=self.over_parameterized_rot)
+
+
+def init_params(key, cfg: TemporalPointsConfig, canonical_pcd, joints, bones,
+                canonical_feat, canonical_alpha, canonical_rgbs,
+                tineuvox_params, noise_gamma=1e-2):
+    """Build the stage-2 parameter pytree.
+
+    Top-level keys mirror the reference attribute names so the
+    ``lrate_*``-reflection optimizer grouping works:
+    weights / joints / theta_weight / gammas / canonical_feat /
+    forward_warp / feat_net / rgbnet / densitynet / featurenet(absent) /
+    timenet / pose_embedding_net / canonical_rgbs / canonical_alpha /
+    direct_eps.
+    """
+    ks = jax.random.split(key, 6)
+    P, J = cfg.n_points, cfg.n_joints
+    from ..kinematics.skeletonizer import point_segment_distance
+    a = np.array([joints[b[0]] for b in bones], np.float64)
+    b = np.array([joints[b[1]] for b in bones], np.float64)
+    d = point_segment_distance(np.asarray(canonical_pcd), a, b)   # [J-1, P]
+    w = (1.0 / (0.5 * np.e ** d + cfg.eps)).T                     # [P, J-1]
+    w = np.concatenate([np.zeros((P, 1)), w], axis=-1)            # zero col
+    params: Dict[str, Any] = {
+        "weights": jnp.asarray(w, jnp.float32),
+        "joints": jnp.asarray(joints, jnp.float32),
+        "theta_weight": jnp.asarray([0.1], jnp.float32),
+        "gammas": 1.0 + noise_gamma * jax.random.normal(ks[0], (P,)),
+        "canonical_feat": jnp.asarray(canonical_feat, jnp.float32),
+        "canonical_rgbs": jnp.asarray(canonical_rgbs, jnp.float32),
+        "canonical_alpha": jnp.asarray(canonical_alpha, jnp.float32),
+        "direct_eps": jnp.full((P,), 0.05, jnp.float32),
+    }
+    params["forward_warp"] = point_warper.init_params(ks[1], cfg.warp_cfg)
+    # feat_net (PointNeRF-style; reference lib/temporalpoints.py:117-130)
+    fin = cfg.feat_dim + cfg.pts_ch + cfg.pose_embedding_dim
+    dims = [fin] + [cfg.feat_dim] * (cfg.feat_depth)
+    params["feat_net"] = nn.init_mlp(ks[2], dims)
+    # shared backbone heads (reference lib/temporalpoints.py:132-146)
+    params["rgbnet"] = jax.tree_util.tree_map(jnp.asarray,
+                                              tineuvox_params["rgbnet"])
+    params["densitynet"] = jax.tree_util.tree_map(jnp.asarray,
+                                                  tineuvox_params["densitynet"])
+    params["timenet"] = jax.tree_util.tree_map(jnp.asarray,
+                                               tineuvox_params["timenet"])
+    if cfg.pose_embedding_dim > 0:
+        pin = J * cfg.pts_ch
+        dims = ([pin, pin // 2] + [pin // 2] * (cfg.feat_depth - 2)
+                + [cfg.pose_embedding_dim])
+        params["pose_embedding_net"] = nn.init_mlp(ks[3], dims)
+    return params
+
+
+def init_state(cfg: TemporalPointsConfig, canonical_pcd, joints, bones,
+               skeleton_pcd, xyz_min, xyz_max, frozen_view_dir=None):
+    """Non-learned buffers (KNN tables, kinematic tree, merge state)."""
+    pcd = jnp.asarray(canonical_pcd, jnp.float32)
+    d2, nn_i = knn(pcd, pcd, k=cfg.neighbours)
+    nn_dist = jnp.sqrt(
+        ((pcd[:, None, :] - pcd[nn_i]) ** 2).sum(-1) + cfg.eps)
+    tree = point_warper.build_tree(np.asarray(joints), bones)
+    J = cfg.n_joints
+    bone_pairs = np.asarray(bones).reshape(-1)
+    state = {
+        "canonical_pcd": pcd,
+        "skeleton_pcd": jnp.asarray(skeleton_pcd, jnp.float32),
+        "original_joints": jnp.asarray(joints, jnp.float32),
+        "nn_i": nn_i,
+        "nn_distance": nn_dist,
+        "mean_min_distance": nn_dist[:, 1].mean(),
+        "bone_arap_idx": jnp.asarray(bone_pairs, jnp.int32),
+        "tree": {k: jnp.asarray(v) for k, v in tree.items()},
+        "rot_mask": jnp.zeros(J, bool),
+        "sibling_mask": jnp.arange(J, dtype=jnp.int32),
+        "merge_mat": jnp.eye(J, dtype=jnp.float32),
+        "xyz_min": jnp.asarray(xyz_min, jnp.float32),
+        "xyz_max": jnp.asarray(xyz_max, jnp.float32),
+        "frozen_view_dir": (None if frozen_view_dir is None
+                            else jnp.asarray(frozen_view_dir, jnp.float32)),
+        "bones": np.asarray(bones),
+    }
+    og = state["original_joints"][state["bone_arap_idx"]]
+    state["og_joint_distance"] = og[0::2] - og[1::2]
+    return state
+
+
+def get_weights(params, cfg: TemporalPointsConfig, state):
+    """Tempered softmax skinning weights + merge matrix
+    (reference get_weights, lib/temporalpoints.py:401-414)."""
+    theta = jnp.maximum(cfg.eps, params["theta_weight"])
+    w = jax.nn.softmax(params["weights"] / theta, axis=-1)
+    return jnp.matmul(w, state["merge_mat"], precision=HIGH)
+
+
+def warp(params, cfg: TemporalPointsConfig, state, t=None, rot_params=None):
+    """Forward-warp the canonical cloud at time t (or explicit rotations)."""
+    if t is not None:
+        t_embed = encoding.poc_fre(jnp.reshape(t, (1,)),
+                                   encoding.poc_freqs(cfg.timebase_pe))
+        t_embed = t_embed.reshape(-1)
+    else:
+        t_embed = None
+    weights = get_weights(params, cfg, state)
+    out = point_warper.forward(
+        params["forward_warp"], cfg.warp_cfg, state["tree"],
+        state["canonical_pcd"], weights, params["joints"],
+        t_embed=t_embed, rot_params=rot_params,
+        rot_mask=state["rot_mask"], sibling_mask=state["sibling_mask"])
+    out["lbs_weights"] = weights
+    return out
+
+
+def _compact_per_ray(valid, budget):
+    """Compact valid sample slots to the front of each ray, static budget.
+
+    Returns src index [R, budget] into the S axis (== S when empty slot)."""
+    R, S = valid.shape
+    pos = jnp.cumsum(valid, axis=1) - 1
+    dest = jnp.where(valid & (pos < budget), pos, budget)
+    src = jnp.full((R, budget + 1), S, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(R)[:, None], (R, S))
+    cols = jnp.broadcast_to(jnp.arange(S)[None, :], (R, S))
+    src = src.at[rows, dest].set(cols.astype(jnp.int32), mode="drop")
+    return src[:, :budget]
+
+
+def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
+                        bbox_min, bbox_max):
+    """Dense slab sampling against a (dynamic) bbox + per-ray compaction.
+
+    Replaces the reference's ragged ``sample_pts_on_rays`` +
+    ``mask_inbbox`` compaction (lib/temporalpoints.py:373-399).
+    """
+    stepdist = cfg.stepsize * cfg.voxel_size
+    t_min, t_max = ray_aabb(rays_o, rays_d, bbox_min, bbox_max, near, far)
+    n_steps = jnp.maximum(jnp.ceil((t_max - t_min) / stepdist), 1.0)
+    start = rays_o + rays_d * t_min[:, None]
+    unit_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    S = cfg.max_steps
+    step = jnp.arange(S, dtype=jnp.float32)
+    pts = start[:, None, :] + unit_d[:, None, :] * (step[None, :, None] * stepdist)
+    in_bbox = jnp.all((pts >= bbox_min) & (pts <= bbox_max), axis=-1)
+    valid = (step[None, :] < n_steps[:, None]) & in_bbox
+
+    src = _compact_per_ray(valid, cfg.sample_budget)          # [R, B]
+    pts_pad = jnp.concatenate([pts, jnp.full((pts.shape[0], 1, 3), 1e9)], 1)
+    pts_c = jnp.take_along_axis(pts_pad, src[..., None], axis=1)
+    valid_c = src < S
+    step_c = jnp.minimum(src, S - 1).astype(jnp.float32)
+    return pts_c, valid_c, step_c
+
+
+def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
+                  inv_rot, rays_o, rays_d, viewdirs, near, far,
+                  query_radius, pose_embedding=None, render_pcd_direct=False,
+                  render_weights=False, lbs_weights=None, calc_min_max=True):
+    """KNN feature aggregation along rays (reference ``aggregate_pts``,
+    lib/temporalpoints.py:416-521), dense masked layout.
+
+    Returns per-sample arrays shaped [R, B(, .)] plus the valid mask.
+    """
+    R = rays_o.shape[0]
+    K = cfg.neighbours
+    if calc_min_max:
+        bb_min = t_hat_pcd.min(0) - query_radius
+        bb_max = t_hat_pcd.max(0) + query_radius
+    else:
+        bb_min, bb_max = state["xyz_min"], state["xyz_max"]
+    pts, valid, step_id = sample_rays_compact(cfg, rays_o, rays_d, near, far,
+                                              bb_min, bb_max)
+    B = cfg.sample_budget
+    q = pts.reshape(R * B, 3)
+    d2, idx = knn(jax.lax.stop_gradient(q),
+                  jax.lax.stop_gradient(t_hat_pcd), k=K)
+    # radius cutoff on the kth neighbour (squared-distance semantics of the
+    # reference, lib/temporalpoints.py:440)
+    nn_ok = d2[:, -1] <= query_radius
+    valid = valid & nn_ok.reshape(R, B)
+
+    nbr = t_hat_pcd[idx]                                   # [RB, K, 3]
+    rel_p = q[:, None, :] - nbr                            # differentiable
+    to_nn = (rel_p ** 2).sum(-1)                           # [RB, K]
+
+    feats_k = params["canonical_feat"][idx]                # [RB, K, F]
+    rot_k = inv_rot[idx]                                   # [RB, K, 3, 3]
+
+    w = 1.0 / (to_nn + cfg.eps)
+    w = w / w.sum(-1, keepdims=True)
+
+    rel_canon = jnp.einsum("mkab,mkb->mka", rot_k, rel_p, precision=HIGH)
+    rel_emb = encoding.poc_fre(rel_canon, encoding.poc_freqs(cfg.posbase_pe))
+    feat_in = [rel_emb, feats_k]
+    if pose_embedding is not None:
+        pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, -1),
+                              (*feats_k.shape[:2], pose_embedding.size))
+        feat_in.append(pe)
+    h_k = nn.mlp(params["feat_net"], jnp.concatenate(feat_in, -1),
+                 activation=nn.leaky_relu, final_activation=nn.leaky_relu)
+    h = (h_k * w[..., None]).sum(1)                        # [RB, F]
+
+    density = nn.mlp(params["densitynet"], h)[..., 0]
+    interval = cfg.stepsize * cfg.voxel_size_ratio
+    alpha = raw2alpha(density, cfg.act_shift, interval)
+
+    from .tineuvox import apply_rgbnet
+    if cfg.no_view_dir:
+        views_emb = None
+    elif state["frozen_view_dir"] is not None:
+        ve = encoding.poc_fre(state["frozen_view_dir"],
+                              encoding.poc_freqs(cfg.viewbase_pe))
+        views_emb = jnp.broadcast_to(ve[None], (R * B, ve.shape[-1]))
+    else:
+        ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
+        views_emb = jnp.repeat(ve, B, axis=0)
+    rgb = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h, views_emb))
+
+    out = {
+        "alpha": alpha.reshape(R, B),
+        "rgb": rgb.reshape(R, B, 3),
+        "valid": valid,
+        "step_id": step_id,
+    }
+    if render_pcd_direct:
+        sig = state["mean_min_distance"] * jnp.maximum(params["direct_eps"], 0.0)
+        w_dir = jnp.exp(-(to_nn ** 2) / (2.0 * sig[idx] ** 2 + 1e-12))
+        w_dir_density = w_dir / K
+        w_dir_col = w_dir / (w_dir.sum(-1, keepdims=True) + 1e-12)
+        a_k = jnp.clip(params["canonical_alpha"], 0, 1)[idx]
+        c_k = jnp.clip(params["canonical_rgbs"], 0, 1)[idx]
+        out["alpha_direct"] = (w_dir_density * a_k).sum(-1).reshape(R, B)
+        out["rgb_direct"] = (w_dir_col[..., None] * c_k).sum(1).reshape(R, B, 3)
+    if render_weights and lbs_weights is not None:
+        lw = lbs_weights[idx]                              # [RB, K, J]
+        out["lbs_w"] = (lw * w[..., None]).sum(1).reshape(
+            R, B, lbs_weights.shape[-1])
+    return out
+
+
+def project_points(points, c2w, K):
+    """3D -> 2D projection (reference ``project_point_to_image_plane``,
+    lib/utils.py:435-450). points [N,3], c2w [4,4], K [3,3] -> [N,2]."""
+    w2c = jnp.linalg.inv(c2w)
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    pix = cam @ K.T
+    return pix[:, :2] / pix[:, 2:]
+
+
+def forward(params, cfg: TemporalPointsConfig, state, rays_o, rays_d,
+            viewdirs, t=None, rot_params=None, near=0.0, far=1e9, bg=1.0,
+            query_radius=0.01, render_depth=False, render_weights=False,
+            render_pcd_direct=False, calc_min_max=True):
+    """Full forward: warp -> aggregate -> composite
+    (reference TemporalPoints.forward, lib/temporalpoints.py:540-712)."""
+    wout = warp(params, cfg, state, t=t, rot_params=rot_params)
+    t_hat = wout["xyz"]
+    inv_rot = jnp.linalg.inv(wout["frames"])[:, :3, :3]
+
+    pose_embedding = None
+    if cfg.pose_embedding_dim > 0:
+        delta = jax.lax.stop_gradient(params["joints"] - wout["joints_rel"])
+        emb = encoding.poc_fre(delta, encoding.poc_freqs(cfg.posbase_pe))
+        pose_embedding = nn.mlp(params["pose_embedding_net"],
+                                emb.reshape(1, -1),
+                                activation=nn.leaky_relu,
+                                final_activation=nn.leaky_relu)
+
+    agg = aggregate_pts(params, cfg, state, t_hat, inv_rot, rays_o, rays_d,
+                        viewdirs, near, far, query_radius,
+                        pose_embedding=pose_embedding,
+                        render_pcd_direct=render_pcd_direct,
+                        render_weights=render_weights,
+                        lbs_weights=wout["lbs_weights"],
+                        calc_min_max=calc_min_max)
+
+    valid = agg["valid"]
+    alpha = agg["alpha"]
+    if cfg.fast_color_thres > 0:
+        valid = valid & (alpha > cfg.fast_color_thres)
+    weights, alphainv_last = alpha2weights(alpha, valid)
+    if cfg.fast_color_thres > 0:
+        weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
+
+    rgb_marched = composite(weights, agg["rgb"], bg=bg,
+                            alphainv_last=alphainv_last)
+    out = {
+        "t_hat_pcd": t_hat,
+        "rgb_marched": rgb_marched,
+        "alphainv_last": alphainv_last,
+        "weights_per_sample": weights,
+        "thetas": wout["thetas"],
+        "global_t": wout["global_t"],
+        "joints_rel": wout["joints_rel"],
+        "joints_warped": wout["joints_warped"],
+        "lbs_weights": wout["lbs_weights"],
+    }
+    if render_depth:
+        out["depth"] = composite(weights, agg["step_id"])
+    if render_pcd_direct:
+        valid_d = agg["valid"]
+        ad = agg["alpha_direct"]
+        if cfg.fast_color_thres > 0:
+            valid_d = valid_d & (ad > cfg.fast_color_thres)
+        wd, ainv_d = alpha2weights(ad, valid_d)
+        if cfg.fast_color_thres > 0:
+            wd = jnp.where(wd > cfg.fast_color_thres, wd, 0.0)
+        out["rgb_marched_direct"] = composite(wd, agg["rgb_direct"], bg=bg,
+                                              alphainv_last=ainv_d)
+        out["alphainv_last_direct"] = ainv_d
+    if render_weights and "lbs_w" in agg:
+        out["lbs_w_per_sample"] = agg["lbs_w"]
+        out["weights_for_render"] = weights
+        out["alphainv_for_render"] = alphainv_last
+    return out
+
+
+# ----------------------------------------------------------------------
+# Skeleton simplification (reference simplify_skeleton,
+# lib/temporalpoints.py:256-368)
+# ----------------------------------------------------------------------
+
+def simplify_skeleton(params, cfg: TemporalPointsConfig, state, times,
+                      deg_threshold=10.0, five_percent_heuristic=False):
+    """Prune zero-motion bones and merge same-motion siblings.
+
+    ``times``: [T] train times. Returns (new_state, info); the new state
+    carries the updated rot/sibling masks and merge matrix, ``info`` carries
+    joints/bones before and after for rendering and reporting.
+    """
+    from ..kinematics.treeprune import merge_joints, flatten_merging_rules
+    from ..ops.rotations import rotmat_to_rotvec
+    J = cfg.n_joints
+    t_embed = encoding.poc_fre(jnp.asarray(times, jnp.float32).reshape(-1, 1),
+                               encoding.poc_freqs(cfg.timebase_pe))
+    p = point_warper.transform_params(params["forward_warp"], t_embed)
+    p = np.asarray(p)                                    # [T, J+1, 4]
+    if cfg.over_parameterized_rot:
+        rot_angles = p[:, :J, -1]
+        R, _ = point_warper.rodrigues(jnp.asarray(p[:, :J, :]).reshape(-1, 4))
+    else:
+        rot_angles = np.sqrt((p[:, :J, :3] ** 2).sum(-1)) % (2 * np.pi)
+        R, _ = point_warper.rodrigues(jnp.asarray(p[:, :J, :3]).reshape(-1, 3))
+    T = len(times)
+    R = np.asarray(R).reshape(T, J, 3, 3)
+
+    # pairwise rotation-similarity via relative geodesic angle
+    rel = np.einsum("tiab,tjcb->tijac", R, R)            # R_i R_j^T
+    ang = np.linalg.norm(
+        np.asarray(rotmat_to_rotvec(jnp.asarray(rel.reshape(-1, 3, 3)))),
+        axis=-1).reshape(T, J, J)
+    if five_percent_heuristic:
+        th_count = int(T * 0.05)
+        sim = (np.rad2deg(ang) >= deg_threshold).sum(0) <= th_count
+        zero_motion = ((np.rad2deg(np.abs(rot_angles)) >= deg_threshold)
+                       .sum(0) <= th_count)
+    else:
+        deg_std = np.rad2deg(np.sqrt((ang ** 2).mean(0)))
+        sim = deg_std <= deg_threshold
+        # avg heuristic (reference lib/temporalpoints.py:292: no sqrt)
+        zero_motion = np.rad2deg((rot_angles ** 2).mean(0)) <= deg_threshold
+    np.fill_diagonal(sim, True)
+
+    prune = zero_motion.copy()
+    prune[0] = False                                     # never prune root
+
+    joints_np = np.asarray(params["joints"])
+    bones = [list(map(int, b)) for b in np.asarray(state["bones"])]
+    (new_joints, new_bones, merging_rules, joints_to_keep, rotations_to_keep,
+     switch_mask, sibling_rules) = merge_joints(
+        joints_np, bones, prune, sim, convert_merging_rules=False)
+
+    flat = np.asarray(flatten_merging_rules(merging_rules))
+    merge_mat = np.zeros((J, J), np.float32)
+    merge_mat[np.arange(J), flat] = 1.0                  # col sums weights
+
+    new_state = dict(state)
+    new_state["rot_mask"] = jnp.asarray(np.asarray(state["rot_mask"])
+                                        | prune)
+    new_state["sibling_mask"] = jnp.asarray(sibling_rules.astype(np.int32))
+    new_state["merge_mat"] = jnp.asarray(merge_mat)
+    info = {
+        "prune_bones": prune, "merging_rules": merging_rules,
+        "joints_to_keep": joints_to_keep, "new_joints": new_joints,
+        "new_bones": new_bones, "rotations_to_keep": rotations_to_keep,
+        "old_joints": joints_np, "old_bones": bones,
+    }
+    return new_state, info
+
+
+# ----------------------------------------------------------------------
+# Losses (reference lib/temporalpoints.py:714-800)
+# ----------------------------------------------------------------------
+
+def arap_loss(state, warped_pcd, eps=1e-6):
+    warped_nn = jnp.sqrt(
+        ((warped_pcd[:, None, :] - warped_pcd[state["nn_i"]]) ** 2).sum(-1)
+        + eps)
+    return jnp.abs(state["nn_distance"] - warped_nn).sum()
+
+
+def neighbour_weight_tv_loss(state, lbs_weights):
+    diff = lbs_weights[:, None, :] - lbs_weights[state["nn_i"]]
+    return jnp.abs(diff).mean()
+
+
+def weight_sparsity_loss(lbs_weights, eps=1e-6):
+    w = lbs_weights
+    return -(w * jnp.log(w + eps) + (1 - w) * jnp.log(1 - w + eps)).mean()
+
+
+def transformation_reg_loss(global_t, thetas):
+    return (jnp.abs(global_t).sum() + jnp.abs(thetas).sum()) / thetas.shape[0]
+
+
+def joint_chamfer_loss(state, joints):
+    d = ((joints[:, None, :] - state["skeleton_pcd"][None]) ** 2).sum(-1)
+    return d.min(axis=1).sum()
+
+
+def batch_chamfer_2d(projected, mask_pts):
+    """Symmetric chamfer between projected points and mask pixels
+    (reference get_batch_chamfer_loss, lib/temporalpoints.py:765-795)."""
+    d = ((projected[:, :, None, :] - mask_pts[:, None, :, :]) ** 2).sum(-1)
+    return d.min(2).mean() + d.min(1).mean()

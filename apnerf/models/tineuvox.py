@@ -303,45 +303,58 @@ def grid_xyz_coords(cfg: TiNeuVoxConfig, sampling_freq: float = 1.0,
     return g.astype(np.float32)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "canonical", "want_features",
+                                   "stepsize"))
+def _eval_points_batch(params, cfg: TiNeuVoxConfig, pts, time_sel, viewdir,
+                       stepsize, canonical, want_features):
+    tfeat = time_feature(params, cfg, time_sel.reshape(1, 1))
+    tb = jnp.broadcast_to(tfeat, (pts.shape[0], tfeat.shape[-1]))
+    h, _ = query_density_features(params, cfg, pts, tb, canonical=canonical)
+    density = nn.mlp(params["densitynet"], h)[..., 0]
+    interval = stepsize * cfg.voxel_size_ratio
+    alpha = raw2alpha(density, cfg.act_shift, interval)
+    if not want_features:
+        return alpha, alpha, alpha
+    if cfg.no_view_dir:
+        ve = None
+    else:
+        v_emb = encoding.poc_fre(viewdir.reshape(1, 3),
+                                 encoding.poc_freqs(cfg.viewbase_pe))
+        ve = jnp.broadcast_to(v_emb, (pts.shape[0], v_emb.shape[-1]))
+    rgb = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h, ve))
+    return alpha, rgb, h
+
+
 def eval_alpha_volume(params, cfg: TiNeuVoxConfig, grid_xyz, time_sel,
                       stepsize, canonical=False, batch=2 ** 18,
                       want_features=False, viewdir=None):
     """Evaluate alpha (and optionally rgb/features) on a dense point grid.
 
     Covers reference ``get_grid_as_point_cloud`` / ``get_alpha_mask``
-    (lib/tineuvox.py:201-363). Runs in jit-compiled batches.
+    (lib/tineuvox.py:201-363). Batches have a fixed padded size so one XLA
+    program serves every grid resolution (the export binary search probes
+    many sizes).
     """
     shape = grid_xyz.shape[:-1]
-    pts_all = jnp.asarray(grid_xyz.reshape(-1, 3))
+    pts_all = np.asarray(grid_xyz, np.float32).reshape(-1, 3)
     n = pts_all.shape[0]
+    batch = min(batch, max(4096, 1 << (n - 1).bit_length()))
     pad = (-n) % batch
     if pad:
-        pts_all = jnp.concatenate([pts_all, jnp.zeros((pad, 3), jnp.float32)])
-    tfeat = time_feature(params, cfg, jnp.asarray([[float(time_sel)]]))
-
-    if viewdir is not None and not cfg.no_view_dir:
-        v_emb = encoding.poc_fre(jnp.asarray(viewdir, jnp.float32).reshape(1, 3),
-                                 encoding.poc_freqs(cfg.viewbase_pe))
-    else:
-        v_emb = None
-
-    @jax.jit
-    def eval_batch(pts):
-        tb = jnp.broadcast_to(tfeat, (pts.shape[0], tfeat.shape[-1]))
-        h, _ = query_density_features(params, cfg, pts, tb, canonical=canonical)
-        density = nn.mlp(params["densitynet"], h)[..., 0]
-        interval = stepsize * cfg.voxel_size_ratio
-        alpha = raw2alpha(density, cfg.act_shift, interval)
-        if not want_features:
-            return alpha, None, None
-        ve = None if v_emb is None else jnp.broadcast_to(
-            v_emb, (pts.shape[0], v_emb.shape[-1]))
-        rgb = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h, ve))
-        return alpha, rgb, h
+        pts_all = np.concatenate(
+            [pts_all, np.zeros((pad, 3), np.float32)])
+    t_dev = jnp.asarray(float(time_sel), jnp.float32)
+    v_dev = (jnp.zeros(3) if viewdir is None
+             else jnp.asarray(viewdir, jnp.float32).reshape(3))
 
     alphas, rgbs, feats = [], [], []
     for i in range(0, pts_all.shape[0], batch):
-        a, r, f = eval_batch(pts_all[i:i + batch])
+        a, r, f = _eval_points_batch(params, cfg, jnp.asarray(pts_all[i:i + batch]),
+                                     t_dev, v_dev, float(stepsize),
+                                     bool(canonical), bool(want_features))
         alphas.append(np.asarray(a))
         if want_features:
             rgbs.append(np.asarray(r))

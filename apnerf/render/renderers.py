@@ -1,0 +1,96 @@
+"""Per-model chunk renderers for render_viewpoints / render_repose."""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import temporal_points as tp
+from ..models import tineuvox
+from ..ops.marching import composite
+
+
+def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
+                           near, far, bg):
+    """Chunk renderer for the TiNeuVox backbone (reference run.py:125-130)."""
+    n_steps = mcfg.max_steps(stepsize)
+
+    @jax.jit
+    def chunk(ro, rd, vd, t):
+        times = jnp.full((ro.shape[0], 1), t)
+        res = tineuvox.forward(params, mcfg, ro, rd, vd, times, near, far,
+                               stepsize, bg, n_steps)
+        return {"rgb_marched": res["rgb_marched"], "depth": res["depth"]}
+
+    def for_view(i, t):
+        return lambda ro, rd, vd: chunk(ro, rd, vd, jnp.float32(t))
+
+    return for_view
+
+
+def weight_palette(n, seed=0):
+    """LBS weight false-colour palette (reference lib/temporalpoints.py:692-695
+    uses seaborn hls + a seeded permutation)."""
+    try:
+        from seaborn import color_palette
+        cols = np.array(color_palette("hls", n))
+    except ImportError:  # pragma: no cover
+        hues = np.linspace(0, 1, n, endpoint=False)
+        cols = np.stack([np.abs(hues * 6 - 3) - 1, 2 - np.abs(hues * 6 - 2),
+                         2 - np.abs(hues * 6 - 4)], -1).clip(0, 1)
+    rng = np.random.default_rng(seed)
+    return cols[rng.permutation(n)]
+
+
+def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
+                         far, bg, render_weights=True,
+                         render_pcd_direct=False, poses=None, Ks=None):
+    """Chunk renderer for TemporalPoints; optionally returns LBS-weight
+    colours and 2D joints for the skeleton overlay."""
+    weight_mask = np.asarray(
+        tp.get_weights(params, mcfg, state).sum(0) > 0)
+    n_active = int(weight_mask.sum())
+    cols = np.zeros((mcfg.n_joints, 3), np.float32)
+    if n_active:
+        cols[weight_mask] = weight_palette(n_active)
+    cols_dev = jnp.asarray(cols)
+
+    @partial(jax.jit, static_argnames=("use_rot",))
+    def chunk(ro, rd, vd, t, rot_params, use_rot):
+        res = tp.forward(params, mcfg, state, ro, rd, vd,
+                         t=None if use_rot else t,
+                         rot_params=rot_params if use_rot else None,
+                         near=near, far=far, bg=bg, render_depth=True,
+                         render_weights=render_weights,
+                         render_pcd_direct=render_pcd_direct)
+        out = {"rgb_marched": res["rgb_marched"], "depth": res["depth"]}
+        if render_pcd_direct and "rgb_marched_direct" in res:
+            out["rgb_marched"] = res["rgb_marched_direct"]
+        if render_weights:
+            col = jnp.einsum("rbj,jc->rbc", res["lbs_w_per_sample"], cols_dev)
+            out["weights"] = composite(res["weights_for_render"], col, bg=bg,
+                                       alphainv_last=res["alphainv_for_render"])
+        out["joints_warped"] = res["joints_warped"]
+        return out
+
+    zeros_rot = jnp.zeros((mcfg.n_joints, 4))
+
+    def for_view(i, t, rot_params=None):
+        use_rot = rot_params is not None
+        rp = jnp.asarray(rot_params) if use_rot else zeros_rot
+
+        def fn(ro, rd, vd):
+            out = dict(chunk(ro, rd, vd, jnp.float32(t or 0.0), rp, use_rot))
+            if poses is not None and Ks is not None and i < len(poses):
+                j2 = tp.project_points(out["joints_warped"],
+                                       jnp.asarray(poses[i]),
+                                       jnp.asarray(Ks[i], jnp.float32))
+                out["joints_2d"] = np.asarray(j2)
+                out["bones"] = np.asarray(state["bones"])
+            out.pop("joints_warped", None)
+            return out
+        return fn
+
+    return for_view

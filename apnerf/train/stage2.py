@@ -1,0 +1,261 @@
+"""Stage-2 trainer: TemporalPoints (LBS point cloud) optimisation.
+
+Covers reference ``train_pcd`` (run.py:417-819): time-curriculum sampling
+with the inverse-proportional time sampler, per-timestep contiguous ray
+ranges, the seven-term loss (render MSE, ARAP, weight TV, weight sparsity
+gated by ``weight_start_iter``, transformation regulariser, joint chamfer,
+2D mask chamfer), masked Adam with per-step lr decay.
+
+TPU design: a single jitted step takes (params, opt_state, batch); the batch
+carries the sampled time, pixel records and the pre-sampled chamfer views /
+mask pixels (host RNG); rays are synthesised on device.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import rays as raydata
+from ..models import temporal_points as tp
+from ..models import tineuvox
+from ..utils.samplers import InverseProportionalSampler, curriculum_window
+from .masked_adam import create_optimizer
+
+
+def build_model(cfg, canonical, skeleton, tineuvox_params,
+                tineuvox_cfg: tineuvox.TiNeuVoxConfig, seed=0,
+                frozen_view_dir=None, sample_budget=None, max_steps=None):
+    """Construct TemporalPoints config/params/state from export artifacts."""
+    cfg_train = cfg.pcd_train_config
+    cfg_model = cfg.pcd_model_and_render
+    pcd = np.asarray(canonical["pcd"], np.float32)
+    joints = np.asarray(skeleton["joints"], np.float32)
+    bones = [list(map(int, b)) for b in skeleton["bones"]]
+    wbs = float(cfg_model.world_bound_scale)
+    xyz_min = np.asarray(canonical["xyz_min"]) * wbs
+    xyz_max = np.asarray(canonical["xyz_max"]) * wbs
+    voxel_size = float(canonical["voxel_size"])
+    stepsize = float(cfg_model.stepsize)
+
+    diag = float(np.linalg.norm(xyz_max - xyz_min))
+    max_steps = max_steps or int(np.ceil(diag / (stepsize * voxel_size))) + 1
+    sample_budget = sample_budget or min(192, max_steps)
+
+    mcfg = tp.TemporalPointsConfig(
+        n_points=len(pcd), n_joints=len(joints),
+        feat_dim=int(np.asarray(canonical["feat"]).shape[-1]),
+        neighbours=8,
+        timebase_pe=tineuvox_cfg.timebase_pe,
+        posbase_pe=tineuvox_cfg.posbase_pe,
+        viewbase_pe=tineuvox_cfg.viewbase_pe,
+        stepsize=stepsize, voxel_size=voxel_size,
+        voxel_size_ratio=tineuvox_cfg.voxel_size_ratio,
+        act_shift=tineuvox_cfg.act_shift,
+        fast_color_thres=float(cfg_model.fast_color_thres),
+        no_view_dir=tineuvox_cfg.no_view_dir,
+        frozen_view_dir=frozen_view_dir is not None,
+        over_parameterized_rot=bool(cfg_train.over_parameterized_rot),
+        pose_embedding_dim=int(cfg_train.pose_embedding_dim),
+        sample_budget=int(sample_budget), max_steps=int(max_steps))
+
+    key = jax.random.PRNGKey(seed)
+    params = tp.init_params(key, mcfg, pcd, joints, bones,
+                            canonical["feat"], canonical["alphas"],
+                            canonical["rgbs"], tineuvox_params)
+    state = tp.init_state(mcfg, pcd, joints, bones,
+                          skeleton["skeleton_pcd"], xyz_min, xyz_max,
+                          frozen_view_dir=frozen_view_dir)
+    return mcfg, params, state
+
+
+def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
+                    optimizer, Ks, poses, H, W, near, far, bg,
+                    n_chamfer_views: int, inverse_y=False, flip_x=False,
+                    flip_y=False):
+    w_render = float(cfg_train.get("weight_render", 0))
+    w_arap = float(cfg_train.get("weight_arap", 0))
+    w_tv = float(cfg_train.get("weight_tv", 0))
+    w_sparse = float(cfg_train.get("weight_sparsity", 0))
+    w_trans = float(cfg_train.get("weight_transformation_reg", 0))
+    w_jcham = float(cfg_train.get("weight_joint_chamfer", 0))
+    w_cham2d = float(cfg_train.get("weight_chamfer2D", 0))
+
+    def loss_fn(params, batch):
+        ro, rd, vd = raydata.pixels_to_rays(
+            Ks, poses, batch["cam"], batch["pix"], H, W,
+            inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+        res = tp.forward(params, mcfg, state, ro, rd, vd, t=batch["t"],
+                         near=near, far=far, bg=bg)
+        metrics = {}
+        loss = 0.0
+        mse = jnp.mean((res["rgb_marched"] - batch["rgb"]) ** 2)
+        metrics["mse"] = mse
+        if w_render > 0:
+            loss = loss + w_render * mse
+        if w_arap > 0:
+            metrics["arap"] = tp.arap_loss(state, res["t_hat_pcd"])
+            loss = loss + w_arap * metrics["arap"]
+        if w_tv > 0:
+            metrics["weight_tv"] = tp.neighbour_weight_tv_loss(
+                state, res["lbs_weights"])
+            loss = loss + w_tv * metrics["weight_tv"]
+        if w_sparse > 0:
+            metrics["sparsity"] = tp.weight_sparsity_loss(res["lbs_weights"])
+            loss = loss + batch["sparsity_on"] * w_sparse * metrics["sparsity"]
+        if w_trans > 0:
+            metrics["trans_reg"] = tp.transformation_reg_loss(
+                res["global_t"], res["thetas"])
+            loss = loss + w_trans * metrics["trans_reg"]
+        if w_jcham > 0:
+            metrics["joint_chamfer"] = tp.joint_chamfer_loss(
+                state, params["joints"])
+            loss = loss + w_jcham * metrics["joint_chamfer"]
+        if w_cham2d > 0 and n_chamfer_views > 0:
+            pcd_sub = res["t_hat_pcd"][batch["chamfer_pcd_idx"]]
+            proj = jax.vmap(tp.project_points, in_axes=(None, 0, 0))(
+                pcd_sub, batch["chamfer_poses"], batch["chamfer_Ks"])
+            if not inverse_y:
+                proj = proj.at[:, :, 0].set((H - 1) - proj[:, :, 0])
+            proj = proj[..., ::-1]                     # (x, y) -> (row, col)
+            metrics["chamfer2d"] = tp.batch_chamfer_2d(
+                proj, batch["chamfer_mask_pts"])
+            loss = loss + w_cham2d * metrics["chamfer2d"]
+        return loss, metrics
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        params, opt_state = optimizer.update(grads, opt_state, params)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    return step
+
+
+def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
+              tineuvox_cfg, scene_bbox, seed=0, n_iters=None, log_every=1000,
+              callback=None, sample_budget=None):
+    """Run stage-2 training; returns (params, mcfg, state, stats)."""
+    cfg_train = cfg.pcd_train_config
+    n_iters = n_iters or int(cfg_train.N_iters)
+    rng = np.random.default_rng(seed)
+
+    H, W = int(data_dict["HW"][0][0]), int(data_dict["HW"][0][1])
+    i_train = data_dict["i_train"]
+    images, masks = data_dict["images"], data_dict["masks"]
+
+    ray_index = raydata.build_ray_index(
+        [images[i] for i in i_train], [masks[i] for i in i_train],
+        data_dict["times"][i_train], data_dict["img_to_cam"][i_train],
+        data_dict["poses"], data_dict["Ks"], H, W,
+        scene_bbox[0], scene_bbox[1], data_dict["near"], data_dict["far"],
+        inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+        flip_y=cfg.data.flip_y)
+
+    # frozen global viewdir option (reference run.py:480-483)
+    frozen_view_dir = None
+    if bool(cfg_train.get("use_global_view_dir", False)):
+        mid = data_dict["poses"][0]
+        frozen_view_dir = -np.asarray(mid[:3, 2], np.float32)
+
+    mcfg, params, state = build_model(cfg, canonical, skeleton,
+                                      tineuvox_params, tineuvox_cfg,
+                                      seed=seed,
+                                      frozen_view_dir=frozen_view_dir,
+                                      sample_budget=sample_budget)
+
+    optimizer = create_optimizer(params, dict(cfg_train))
+    opt_state = optimizer.init(params)
+
+    unique_times = np.unique(np.asarray(data_dict["times"])[i_train])
+    canonical_idx = int(np.argmin(np.abs(unique_times
+                                         - float(cfg.data.canonical_t))))
+    sampler = InverseProportionalSampler(len(unique_times), seed=seed)
+    full_t_iter = int(cfg_train.full_t_iter)
+    weight_start_iter = int(cfg_train.get("weight_start_iter", 0))
+    n_rand = int(cfg_train.N_rand)
+    pose_one_each = bool(cfg_train.get("pose_one_each", False))
+    w_cham2d = float(cfg_train.get("weight_chamfer2D", 0))
+
+    # images grouped by time for chamfer-view sampling
+    times_tr = np.asarray(data_dict["times"])[i_train]
+    imgs_by_time = {t: np.nonzero(times_tr == t)[0] for t in unique_times}
+    n_views_min = min(len(v) for v in imgs_by_time.values())
+    n_chamfer_views = min(5, n_views_min) if w_cham2d > 0 else 0
+    CH_M = 3000   # mask pixels per view
+    CH_N = 3000   # pcd samples
+
+    Ks_dev = jnp.asarray(data_dict["Ks"])
+    poses_dev = jnp.asarray(data_dict["poses"])
+    step_fn = make_train_step(mcfg, state, cfg_train, optimizer, Ks_dev,
+                              poses_dev, H, W, data_dict["near"],
+                              data_dict["far"],
+                              float(cfg_train.bg_col), n_chamfer_views,
+                              inverse_y=cfg.data.inverse_y,
+                              flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+
+    # precompute mask pixel coords per train image (for chamfer2D)
+    mask_pix = []
+    if n_chamfer_views > 0:
+        for i in i_train:
+            m = np.asarray(masks[i]).reshape(H, W)
+            ys, xs = np.nonzero(m > 0)
+            if len(ys) == 0:
+                ys, xs = np.zeros(1, np.int64), np.zeros(1, np.int64)
+            mask_pix.append(np.stack([ys, xs], -1).astype(np.float32))
+
+    stats = {"psnr": [], "loss": []}
+    t0 = time.time()
+    for global_step in range(1, n_iters + 1):
+        t_max, t_min = curriculum_window(global_step, len(unique_times),
+                                         full_t_iter, canonical_idx)
+        rnd_i = sampler.sample(t_min, t_max)
+        t_key = float(unique_times[rnd_i])
+        b_lo, b_hi = ray_index.index_to_times[t_key]
+        sel = rng.integers(b_lo, b_hi, size=n_rand)
+        rgb, mval, tval, cam, pix = ray_index.gather(sel)
+        batch = {
+            "rgb": jnp.asarray(rgb, jnp.float32),
+            "mask": jnp.asarray(mval, jnp.float32),
+            "t": jnp.float32(t_key),
+            "cam": jnp.asarray(cam, jnp.int32),
+            "pix": jnp.asarray(pix, jnp.int32),
+            "sparsity_on": jnp.float32(
+                1.0 if global_step >= weight_start_iter else 0.0),
+        }
+        if n_chamfer_views > 0:
+            img_rows = imgs_by_time[t_key]
+            pick = rng.permutation(len(img_rows))[:n_chamfer_views]
+            rows = img_rows[pick]
+            if pose_one_each:
+                cams_sel = ray_index.img_cam[rows]
+            else:
+                cams_sel = pick % len(data_dict["poses"])
+            mask_pts = np.stack([
+                mask_pix[r][rng.integers(0, len(mask_pix[r]), CH_M)]
+                for r in rows], 0)
+            batch["chamfer_poses"] = poses_dev[jnp.asarray(cams_sel)]
+            batch["chamfer_Ks"] = Ks_dev[jnp.asarray(cams_sel)]
+            batch["chamfer_mask_pts"] = jnp.asarray(mask_pts)
+            batch["chamfer_pcd_idx"] = jnp.asarray(
+                rng.integers(0, mcfg.n_points, CH_N), jnp.int32)
+
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+
+        if global_step % log_every == 0 or global_step == n_iters:
+            mse = float(metrics["mse"])
+            psnr = -10.0 * np.log10(mse)
+            stats["psnr"].append(psnr)
+            stats["loss"].append(float(metrics["loss"]))
+            print(f"stage2: iter {global_step:6d} | loss "
+                  f"{float(metrics['loss']):.5f} | psnr {psnr:5.2f} | "
+                  f"t {t_min}-{t_max} | {time.time() - t0:.1f}s")
+            if callback is not None:
+                callback(global_step, params, mcfg, state, stats)
+
+    return params, mcfg, state, stats
