@@ -1,0 +1,149 @@
+"""Pallas TPU kernel: fused brute-force K-nearest-neighbour (K=8).
+
+The stage-2 hot op (SURVEY.md §7.2): for every ray sample, the 8 nearest
+warped cloud points. The XLA formulation (ops/knn.py) pays for a full
+``lax.top_k`` sort per point tile; this kernel keeps a running best-8 per
+query block in VMEM and merges each point tile with 8 masked min/argmin
+passes — no sort, no HBM round-trips for the distance matrix.
+
+Grid: (query_blocks, point_tiles); point tiles iterate innermost so the
+running best-8 lives in the output block across the reduction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 256      # queries per block
+PT = 2048     # points per tile
+
+
+def _knn_kernel(k: int, q_ref, p_ref, od_ref, oi_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        od_ref[:] = jnp.full(od_ref.shape, jnp.inf, jnp.float32)
+        oi_ref[:] = jnp.zeros(oi_ref.shape, jnp.int32)
+
+    q = q_ref[:]                                   # [QB, 3]
+    p = p_ref[:]                                   # [PT, 3]
+
+    # block-level pruning: if the axis-aligned gap between the query block's
+    # bbox and this (Morton-sorted, hence spatially compact) point tile's
+    # bbox already exceeds every query's current kth-best distance, the tile
+    # cannot contribute — skip the whole merge.
+    q_lo = jnp.min(q, axis=0)
+    q_hi = jnp.max(q, axis=0)
+    p_lo = jnp.min(p, axis=0)
+    p_hi = jnp.max(p, axis=0)
+    gap = jnp.maximum(jnp.maximum(q_lo - p_hi, p_lo - q_hi), 0.0)
+    lb2 = jnp.sum(gap * gap)
+    worst = jnp.max(od_ref[:, k - 1])
+
+    @pl.when((j == 0) | (lb2 < worst))
+    def _():
+        # exact fp32 distances on the VPU: the MXU matmul expansion runs at
+        # bf16 precision on TPU and visibly reorders close neighbours
+        dx = q[:, 0:1] - p[:, 0][None, :]
+        dy = q[:, 1:2] - p[:, 1][None, :]
+        dz = q[:, 2:3] - p[:, 2][None, :]
+        d2 = dx * dx + dy * dy + dz * dz           # [QB, PT]
+        gidx = j * PT + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+
+        cand_d = jnp.concatenate([od_ref[:], d2], axis=1)
+        cand_i = jnp.concatenate([oi_ref[:], gidx], axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+
+        best_d = []
+        best_i = []
+        for _ in range(k):
+            m = jnp.min(cand_d, axis=1)
+            am = jnp.argmin(cand_d, axis=1)
+            sel = lane == am[:, None]
+            best_d.append(m)
+            best_i.append(jnp.sum(jnp.where(sel, cand_i, 0), axis=1))
+            cand_d = jnp.where(sel, jnp.inf, cand_d)
+        od_ref[:] = jnp.stack(best_d, axis=1)
+        oi_ref[:] = jnp.stack(best_i, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_pallas(queries, points, k: int = 8):
+    """Exact k-NN: (d2 [M, k] ascending, idx [M, k]).
+
+    Inputs are padded to block multiples; pad points get distance ~1e20 and
+    never win.
+    """
+    M = queries.shape[0]
+    P = points.shape[0]
+    mpad = (-M) % QB
+    ppad = (-P) % PT
+    q = jnp.pad(queries.astype(jnp.float32), ((0, mpad), (0, 0)))
+    p = points.astype(jnp.float32)
+    if ppad:
+        p = jnp.concatenate(
+            [p, jnp.full((ppad, 3), 1e10, jnp.float32)], axis=0)
+    n_qb = (M + mpad) // QB
+    n_pt = (P + ppad) // PT
+
+    d2, idx = pl.pallas_call(
+        partial(_knn_kernel, k),
+        grid=(n_qb, n_pt),
+        in_specs=[
+            pl.BlockSpec((QB, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PT, 3), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((QB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M + mpad, k), jnp.float32),
+            jax.ShapeDtypeStruct((M + mpad, k), jnp.int32),
+        ],
+    )(q, p)
+    return jnp.maximum(d2[:M], 0.0), idx[:M]
+
+
+def _morton_codes(points):
+    """30-bit Morton codes (10 bits/axis) for spatial ordering."""
+    lo = points.min(0)
+    hi = points.max(0)
+    u = jnp.clip((points - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    g = jnp.minimum((u * 1024.0).astype(jnp.uint32), 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(g[:, 0]) | (spread(g[:, 1]) << 1)
+            | (spread(g[:, 2]) << 2))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_pallas_sorted(queries, points, k: int = 8):
+    """knn_pallas over Morton-sorted points: spatially compact point tiles
+    make the kernel's bbox pruning effective (most tiles skip)."""
+    perm = jnp.argsort(_morton_codes(points))
+    d2, si = knn_pallas(queries, points[perm], k=k)
+    return d2, perm[si]
+
+
+def available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False

@@ -23,25 +23,9 @@ def _pad_points(points, tile):
     return points, P + pad
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
-def knn(queries, points, k: int = 8, tile: int = 2048):
-    """K nearest points for each query.
-
-    Args:
-      queries: [M, 3] float32.
-      points:  [P, 3] float32. Padded internally to a tile multiple.
-      k: number of neighbours.
-      tile: point-tile size held in registers/VMEM per scan step.
-
-    Returns:
-      (d2 [M, k], idx [M, k]) — squared distances (ascending) and indices.
-    """
-    queries = queries.astype(jnp.float32)
-    points, Ppad = _pad_points(points.astype(jnp.float32), tile)
-    n_tiles = Ppad // tile
-    pts_tiles = points.reshape(n_tiles, tile, 3)
+def _knn_block(queries, pts_tiles, k: int, tile: int):
+    """Exact k-NN of a query block against all point tiles (scan)."""
     q_sq = jnp.sum(queries ** 2, axis=-1, keepdims=True)          # [M, 1]
-
     M = queries.shape[0]
     init_d = jnp.full((M, k), jnp.inf, jnp.float32)
     init_i = jnp.zeros((M, k), jnp.int32)
@@ -65,7 +49,47 @@ def knn(queries, points, k: int = 8, tile: int = 2048):
 
     (best_d, best_i), _ = jax.lax.scan(
         body, (init_d, init_i),
-        (jnp.arange(n_tiles, dtype=jnp.int32), pts_tiles))
+        (jnp.arange(pts_tiles.shape[0], dtype=jnp.int32), pts_tiles))
+    return best_d, best_i
+
+
+@partial(jax.jit, static_argnames=("k", "tile", "q_tile"))
+def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384):
+    """K nearest points for each query, tiled over both operands.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (apnerf.kernels.knn_pallas); the XLA scan+top_k formulation below is the
+    portable reference path (CPU tests, interpreters).
+
+    Args:
+      queries: [M, 3] float32 (tiled in blocks of ``q_tile`` via lax.map so
+        only a [q_tile, tile] distance block is ever live).
+      points:  [P, 3] float32, streamed in ``tile``-sized chunks.
+      k: number of neighbours.
+
+    Returns:
+      (d2 [M, k], idx [M, k]) — squared distances (ascending) and indices.
+    """
+    if jax.default_backend() in ("tpu", "axon") and k <= 16:
+        from ..kernels.knn_pallas import knn_pallas_sorted
+        return knn_pallas_sorted(queries, points, k=k)
+    queries = queries.astype(jnp.float32)
+    points, Ppad = _pad_points(points.astype(jnp.float32), tile)
+    pts_tiles = points.reshape(Ppad // tile, tile, 3)
+
+    M = queries.shape[0]
+    if M <= q_tile:
+        best_d, best_i = _knn_block(queries, pts_tiles, k, tile)
+    else:
+        pad = (-M) % q_tile
+        if pad:
+            queries = jnp.concatenate(
+                [queries, jnp.zeros((pad, 3), jnp.float32)], 0)
+        q_blocks = queries.reshape(-1, q_tile, 3)
+        best_d, best_i = jax.lax.map(
+            lambda q: _knn_block(q, pts_tiles, k, tile), q_blocks)
+        best_d = best_d.reshape(-1, k)[:M]
+        best_i = best_i.reshape(-1, k)[:M]
     # exact distances can come out slightly negative from the matmul form
     return jnp.maximum(best_d, 0.0), best_i
 

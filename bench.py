@@ -1,0 +1,122 @@
+"""Benchmark: TemporalPoints repose-rendering throughput (rays/sec/chip).
+
+This is the BASELINE.md north-star metric ("repose rendering >= 5x reference
+rays/sec"): render a jumpingjacks-scale reposable point model (10^4 points,
+24 joints, K=8 neighbours, 400x400 image) through the full forward path
+(LBS warp -> occupancy-pruned ray sampling -> KNN feature aggregation ->
+compositing) and measure steady-state rays/sec on one chip.
+
+``vs_baseline`` compares against BASELINE_RAYS_PER_SEC, a provisional
+estimate of the CUDA/pykeops reference implementation's repose rendering
+throughput on a single modern GPU (the repo publishes no numbers —
+BASELINE.md; estimate: 8192-ray chunks at ~80 ms/chunk for the
+pykeops-KNN-dominated path, lib/temporalpoints.py:432-437). Replace with a
+measured number when the reference can be run.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 100_000.0
+
+
+def build_model(P=10_000, J=24, F=128):
+    import jax
+    import jax.numpy as jnp
+    from apnerf.models import temporal_points as tp
+    from apnerf.models import tineuvox
+    import apnerf.ops.nn as onn
+
+    rng = np.random.default_rng(0)
+    # a plausible articulated cloud: points scattered around a joint chain
+    joints = np.zeros((J, 3), np.float32)
+    joints[:, 1] = np.linspace(-0.8, 0.8, J)
+    joints[:, 0] = 0.2 * np.sin(np.linspace(0, 3, J))
+    bones = [[j, j + 1] for j in range(J - 1)]
+    seg = rng.integers(0, J, P)
+    pcd = (joints[seg] + rng.normal(size=(P, 3)) * 0.08).astype(np.float32)
+    feat = rng.normal(size=(P, F)).astype(np.float32) * 0.1
+
+    mcfg = tp.TemporalPointsConfig(
+        n_points=P, n_joints=J, feat_dim=F, neighbours=8,
+        timebase_pe=8, posbase_pe=10, viewbase_pe=4,
+        stepsize=0.5, voxel_size=0.012, voxel_size_ratio=1.0,
+        act_shift=float(np.log(1 / (1 - 1e-3) - 1)),
+        fast_color_thres=1e-4, sample_budget=96, max_steps=512)
+
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 3)
+    tnv = {
+        "rgbnet": tineuvox.init_rgbnet(ks[0], F, mcfg.views_ch),
+        "densitynet": onn.init_mlp(ks[1], [F, 1]),
+        "timenet": onn.init_mlp(ks[2], [mcfg.t_dim, 128, 60]),
+    }
+    params = tp.init_params(jax.random.PRNGKey(1), mcfg, pcd, joints, bones,
+                            feat, np.full(P, 0.5, np.float32),
+                            np.full((P, 3), 0.5, np.float32), tnv)
+    state = tp.init_state(mcfg, pcd, joints, bones, pcd[::40],
+                          pcd.min(0) - 0.1, pcd.max(0) + 0.1)
+    return params, mcfg, state
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from apnerf.models import temporal_points as tp
+
+    params, mcfg, state = build_model()
+    H = W = 400
+    CHUNK = 8192
+    focal = 555.0
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def render_chunk(ro, rd, vd, rot):
+        res = tp.forward(params, mcfg, state, ro, rd, vd, t=None,
+                         rot_params=rot, near=0.5, far=6.0, bg=1.0,
+                         render_depth=True)
+        return res["rgb_marched"], res["depth"]
+
+    # camera at +z looking at origin
+    i, j = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    dirs = np.stack([(i - W / 2) / focal, -(j - H / 2) / focal,
+                     -np.ones_like(i)], -1).reshape(-1, 3).astype(np.float32)
+    o = np.array([0, 0, 3.0], np.float32)
+    rot = jnp.asarray(np.concatenate(
+        [rng.normal(size=(mcfg.n_joints, 3)), 0.2 * np.ones((mcfg.n_joints, 1))],
+        -1).astype(np.float32))
+
+    n_rays = H * W
+    pad = (-n_rays) % CHUNK
+    dirs = np.concatenate([dirs, dirs[:pad]], 0)
+    chunks = dirs.reshape(-1, CHUNK, 3)
+
+    def run_once():
+        outs = []
+        for c in chunks:
+            rd = jnp.asarray(c)
+            ro = jnp.broadcast_to(jnp.asarray(o), rd.shape)
+            vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+            outs.append(render_chunk(ro, rd, vd, rot))
+        jax.block_until_ready(outs[-1])
+        return outs
+
+    run_once()  # compile + warm caches
+    t0 = time.time()
+    n_iters = 3
+    for _ in range(n_iters):
+        run_once()
+    dt = (time.time() - t0) / n_iters
+    rays_per_sec = n_rays / dt
+
+    print(json.dumps({
+        "metric": "repose_render_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
