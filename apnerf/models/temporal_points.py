@@ -194,8 +194,13 @@ def _compact_per_ray(valid, budget):
     R, S = valid.shape
     score = jnp.where(
         valid, S - jax.lax.broadcasted_iota(jnp.int32, (R, S), 1), 0)
-    vals, src = jax.lax.top_k(score, budget)
-    return jnp.where(vals > 0, src, S).astype(jnp.int32)
+    eff = min(budget, S)
+    vals, src = jax.lax.top_k(score, eff)
+    src = jnp.where(vals > 0, src, S).astype(jnp.int32)
+    if eff < budget:
+        src = jnp.concatenate(
+            [src, jnp.full((R, budget - eff), S, jnp.int32)], axis=1)
+    return src
 
 
 OCC_RES = 64  # occupancy-grid resolution per axis

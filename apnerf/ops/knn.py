@@ -14,6 +14,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _tpu_default() -> bool:
+    """True when computation lands on a TPU-like backend by default (the
+    Pallas kernel path); respects an explicit jax_default_device override."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "") in ("tpu", "axon")
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _pad_points(points, tile):
     P = points.shape[0]
     pad = (-P) % tile
@@ -70,7 +79,7 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384):
     Returns:
       (d2 [M, k], idx [M, k]) — squared distances (ascending) and indices.
     """
-    if jax.default_backend() in ("tpu", "axon") and k <= 16:
+    if _tpu_default() and k <= 16:
         from ..kernels.knn_pallas import knn_pallas_sorted
         return knn_pallas_sorted(queries, points, k=k)
     queries = queries.astype(jnp.float32)

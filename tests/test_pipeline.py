@@ -1,0 +1,71 @@
+"""End-to-end miniature pipeline: synthetic scene -> stage1 -> export ->
+skeleton -> stage2 -> repose render. Tiny sizes; CPU-friendly."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from apnerf.config.config import load_config
+from apnerf.data.load_data import load_data
+from apnerf.data.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    scene = generate_scene(str(tmp_path_factory.mktemp("scene") / "arm"),
+                           n_times=4, n_test=1, H=48, W=48)
+    cfg = load_config("apnerf/config/configs/nerf/jumpingjacks.py")
+    cfg.data.datadir = scene
+    cfg.data.half_res = False
+    cfg.model_and_render.num_voxels = 32 ** 3
+    cfg.model_and_render.num_voxels_base = 32 ** 3
+    cfg.train_config.pg_scale = [40]
+    cfg.train_config.N_rand = 256
+    cfg.pcd_model_and_render.canonical_pcd_num = 400
+    cfg.pcd_model_and_render.bone_length = 5.0
+    cfg.pcd_train_config.N_rand = 128
+    cfg.pcd_train_config.full_t_iter = 40
+    data = load_data(cfg.data, cfg, bg_col=cfg.train_config.bg_col)
+    return cfg, data
+
+
+def test_full_pipeline(tiny_setup, tmp_path):
+    from apnerf.train import stage1, stage2
+    from apnerf.train.export import export_point_cloud
+    from apnerf.models import temporal_points as tp
+
+    cfg, data = tiny_setup
+    params, mcfg, stats = stage1.scene_rep_reconstruction(
+        cfg, data, n_iters=120, log_every=60)
+    # learns something: last-interval PSNR clearly above random init (~11dB)
+    assert stats["psnr"][-1] > 16, stats["psnr"]
+
+    art = export_point_cloud(
+        params, mcfg, str(tmp_path), cfg.data.canonical_t,
+        float(cfg.model_and_render.stepsize), pcd_density_threshold=0.3,
+        skeleton_density_threshold=0.3, bone_length=5.0,
+        canonical_pcd_num=400, overwrite=True)
+    assert len(art["canonical"]["pcd"]) > 100
+    assert len(art["skeleton"]["bones"]) >= 1
+    assert art["canonical"]["feat"].shape[1] == mcfg.net_width
+
+    scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+    p2, m2, st2, stats2 = stage2.train_pcd(
+        cfg, data, art["canonical"], art["skeleton"], params, mcfg,
+        scene_bbox, n_iters=25, log_every=25, sample_budget=32)
+    assert np.isfinite(stats2["loss"][-1])
+
+    # repose with explicit rotations renders finite images
+    J = m2.n_joints
+    rot = np.zeros((J, 4), np.float32)
+    rot[:, 0] = 1.0
+    if J > 1:
+        rot[1] = [0, 0, 1, 0.4]
+    ro = np.tile([[0, 0, 3.0]], (64, 1)).astype(np.float32)
+    rd = np.tile([[0, 0, -1.0]], (64, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.3, 0.3, 64)
+    out = tp.forward(p2, m2, st2, jnp.asarray(ro), jnp.asarray(rd),
+                     jnp.asarray(rd), t=None, rot_params=jnp.asarray(rot),
+                     near=0.5, far=6.0, bg=1.0, render_depth=True)
+    rgb = np.asarray(out["rgb_marched"])
+    assert np.isfinite(rgb).all()
+    assert rgb.shape == (64, 3)
