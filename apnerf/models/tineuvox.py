@@ -219,16 +219,23 @@ def time_feature(params, cfg: TiNeuVoxConfig, times_sel):
 
 def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
             near, far, stepsize, bg, n_max_steps: int, cam_sel=None,
-            bg_points_sel=None):
+            bg_points_sel=None, occ_grid=None, active_budget=None):
     """Volume render a batch of rays (reference TiNeuVox.forward,
     lib/tineuvox.py:458-564), dense layout.
 
     Args:
       rays_o/rays_d/viewdirs: [N, 3]; times_sel: [N, 1].
       n_max_steps: static per-ray sample budget (cfg.max_steps(stepsize)).
+      occ_grid: optional [X?,Y?,Z?] boolean occupancy volume over the scene
+        bbox; samples in unoccupied cells are pruned (a live version of the
+        reference's unused maskcache, render_utils_kernel.cu:294-351).
+      active_budget: optional static global sample budget; only that many
+        valid samples run through the deformation/feature/color pipeline
+        (TPU analogue of the reference's ragged compaction).
 
     Returns a dict of render results; per-sample arrays are [N, S].
     """
+    from ..ops import compaction
     N = rays_o.shape[0]
     tfeat = time_feature(params, cfg, times_sel)                   # [N, Ct]
     stepdist = stepsize * cfg.voxel_size
@@ -236,32 +243,70 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
                                         cfg.xyz_max, near, far, stepdist,
                                         n_max_steps)
     S = n_max_steps
-    tfeat_b = jnp.broadcast_to(tfeat[:, None, :], (N, S, tfeat.shape[-1]))
-    h, pts_delta = query_density_features(params, cfg, samples.pts, tfeat_b)
-
-    density = nn.mlp(params["densitynet"], h)[..., 0]              # [N, S]
-    interval = stepsize * cfg.voxel_size_ratio
-    alpha = raw2alpha(density, cfg.act_shift, interval)
-
     valid = samples.valid
+    if occ_grid is not None:
+        valid = valid & compaction.occupancy_lookup_xyz(
+            occ_grid, jnp.asarray(cfg.xyz_min), jnp.asarray(cfg.xyz_max),
+            samples.pts)
+    interval = stepsize * cfg.voxel_size_ratio
+
+    if active_budget is not None:
+        M_full = N * S
+        src, filled = compaction.compact_flat(valid.reshape(M_full),
+                                              int(active_budget))
+        pts_pad = jnp.concatenate(
+            [samples.pts.reshape(M_full, 3), jnp.zeros((1, 3))], 0)
+        pts_act = pts_pad[src]
+        ray_of = jnp.minimum(src // S, N - 1)
+        tfeat_act = tfeat[ray_of]
+        h_act, pts_delta = query_density_features(params, cfg, pts_act,
+                                                  tfeat_act)
+        density_act = nn.mlp(params["densitynet"], h_act)[..., 0]
+        alpha_act = jnp.where(filled,
+                              raw2alpha(density_act, cfg.act_shift, interval),
+                              0.0)
+        if cfg.no_view_dir:
+            views_act = None
+        else:
+            v_emb = encoding.poc_fre(viewdirs,
+                                     encoding.poc_freqs(cfg.viewbase_pe))
+            if cfg.add_cam:
+                cam_emb = encoding.poc_fre(
+                    cam_sel, encoding.poc_freqs(cfg.timebase_pe))
+                cam_feat = nn.mlp(params["camnet"], cam_emb)
+                v_emb = jnp.concatenate([v_emb, cam_feat], axis=-1)
+            views_act = v_emb[ray_of]
+        rgb_act = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h_act,
+                                              views_act))
+        alpha = compaction.scatter_back(alpha_act, src, M_full).reshape(N, S)
+        rgb = compaction.scatter_back(rgb_act, src, M_full).reshape(N, S, 3)
+        valid = compaction.scatter_back(
+            filled, src, M_full, fill=False).reshape(N, S)
+    else:
+        tfeat_b = jnp.broadcast_to(tfeat[:, None, :], (N, S, tfeat.shape[-1]))
+        h, pts_delta = query_density_features(params, cfg, samples.pts,
+                                              tfeat_b)
+        density = nn.mlp(params["densitynet"], h)[..., 0]          # [N, S]
+        alpha = raw2alpha(density, cfg.act_shift, interval)
+        if cfg.no_view_dir:
+            views_emb = None
+        else:
+            v_emb = encoding.poc_fre(viewdirs,
+                                     encoding.poc_freqs(cfg.viewbase_pe))
+            if cfg.add_cam:
+                cam_emb = encoding.poc_fre(
+                    cam_sel, encoding.poc_freqs(cfg.timebase_pe))
+                cam_feat = nn.mlp(params["camnet"], cam_emb)
+                v_emb = jnp.concatenate([v_emb, cam_feat], axis=-1)
+            views_emb = jnp.broadcast_to(v_emb[:, None, :],
+                                         (N, S, v_emb.shape[-1]))
+        rgb = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h, views_emb))
+
     if cfg.fast_color_thres > 0:
         valid = valid & (alpha > cfg.fast_color_thres)
     weights, alphainv_last = alpha2weights(alpha, valid)
     if cfg.fast_color_thres > 0:
         weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
-
-    if cfg.no_view_dir:
-        views_emb = None
-    else:
-        v_emb = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
-        if cfg.add_cam:
-            cam_emb = encoding.poc_fre(cam_sel,
-                                       encoding.poc_freqs(cfg.timebase_pe))
-            cam_feat = nn.mlp(params["camnet"], cam_emb)
-            v_emb = jnp.concatenate([v_emb, cam_feat], axis=-1)
-        views_emb = jnp.broadcast_to(v_emb[:, None, :],
-                                     (N, S, v_emb.shape[-1]))
-    rgb = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h, views_emb))
 
     rgb_marched = composite(weights, rgb, bg=bg, alphainv_last=alphainv_last)
     depth = composite(weights, samples.step_id.astype(jnp.float32))

@@ -51,8 +51,13 @@ def compute_bbox_by_cam_frustrm(HW, Ks, poses, i_train, img_to_cam, near, far,
 def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
                     optimizer, Ks, poses, H, W, near, far, bg,
                     inverse_y=False, flip_x=False, flip_y=False,
-                    tv_weight_fn=None):
-    """Build the jitted stage-1 train step for one grid resolution."""
+                    use_occupancy=False, active_budget=None):
+    """Build the jitted stage-1 train step for one grid resolution.
+
+    With ``use_occupancy`` the step takes an extra occupancy-volume arg and
+    runs the sample pipeline under a static global ``active_budget`` (see
+    tineuvox.forward) — the TPU replacement for the CUDA ragged filtering.
+    """
     stepsize = float(cfg_train["_stepsize"])
     n_steps = cfg_model_static.max_steps(stepsize)
     w_main = float(cfg_train["weight_main"])
@@ -62,13 +67,14 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
     w_dist = float(cfg_train.get("weight_distortion", 0.0))
     w_tv = float(cfg_train.get("weight_tv_feature", 0.0))
 
-    def loss_fn(params, batch, tv_on):
+    def loss_fn(params, batch, tv_on, occ):
         ro, rd, vd = raydata.pixels_to_rays(
             Ks, poses, batch["cam"], batch["pix"], H, W,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
         res = tineuvox.forward(params, cfg_model_static, ro, rd, vd,
                                batch["time"][:, None], near, far, stepsize,
-                               bg, n_steps)
+                               bg, n_steps, occ_grid=occ,
+                               active_budget=active_budget)
         target = batch["rgb"]
         mse = jnp.mean((res["rgb_marched"] - target) ** 2)
         loss = w_main * mse
@@ -95,12 +101,20 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
             loss = loss + tv_on * tv
         return loss, mse
 
-    @jax.jit
-    def step(params, opt_state, batch, tv_on):
-        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, tv_on)
-        params, opt_state = optimizer.update(grads, opt_state, params)
-        return params, opt_state, loss, mse
+    if use_occupancy:
+        @jax.jit
+        def step(params, opt_state, batch, tv_on, occ):
+            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, tv_on, occ)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return params, opt_state, loss, mse
+    else:
+        @jax.jit
+        def step(params, opt_state, batch, tv_on):
+            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, tv_on, None)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            return params, opt_state, loss, mse
 
     return step
 
@@ -166,17 +180,47 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
     gen = raydata.batch_index_generator(ray_index.n, int(cfg_train["N_rand"]),
                                         seed=seed)
 
-    def build_segment(params):
+    # occupancy-pruned sampling (TPU-side replacement for the CUDA ragged
+    # filtering): after a warmup, maintain a density-derived occupancy
+    # volume and run the pipeline under a static active-sample budget.
+    occ_start = int(cfg_train.get("occupancy_start", 1000))
+    occ_every = int(cfg_train.get("occupancy_update_every", 500))
+    occ_frac = float(cfg_train.get("active_fraction", 0.25))
+    use_occ = bool(cfg_train.get("use_occupancy", True)) and occ_start <= n_iters
+    occ = None
+
+    def refresh_occupancy(params, model_cfg):
+        from ..ops import compaction
+        grid_xyz = tineuvox.grid_xyz_coords(model_cfg, 1.0)
+        acc = None
+        for t in (0.0, 1.0 / 3, 2.0 / 3, 1.0):
+            a = tineuvox.eval_alpha_volume(params, model_cfg, grid_xyz, t,
+                                           stepsize)
+            acc = a if acc is None else np.maximum(acc, a)
+        flags = jnp.asarray(acc > max(model_cfg.fast_color_thres, 1e-6))
+        occ = compaction.build_occupancy_grid(flags)
+        occ = compaction.build_occupancy_grid(occ)      # 2-cell dilation
+        return occ
+
+    def build_segment(params, model_cfg, occupancy_active):
         optimizer = create_optimizer(params, cfg_train)
         opt_state = optimizer.init(params)
+        budget = None
+        if occupancy_active:
+            n_s = model_cfg.max_steps(stepsize)
+            budget = int(cfg_train["N_rand"]) * n_s * occ_frac
+            budget = max(4096, int(budget) // 1024 * 1024)
         step = make_train_step(model_cfg, cfg_train, optimizer, Ks_dev,
                                poses_dev, H, W, data_dict["near"],
                                data_dict["far"], bg,
                                inverse_y=cfg.data.inverse_y,
-                               flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+                               flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+                               use_occupancy=occupancy_active,
+                               active_budget=budget)
         return step, opt_state
 
-    step_fn, opt_state = build_segment(params)
+    occupancy_active = False
+    step_fn, opt_state = build_segment(params, model_cfg, False)
     tv_before = float(cfg_train.get("tv_before", 1e9))
     tv_after = float(cfg_train.get("tv_after", 0))
     tv_every = int(cfg_train.get("tv_every", 1))
@@ -186,12 +230,23 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
     for global_step in range(1, n_iters + 1):
         if global_step == step_to_half:
             params["feature"] = params["feature"].astype(jnp.bfloat16)
+        rebuild = False
         if global_step in pg_scale:
             n_rest = len(pg_scale) - pg_scale.index(global_step) - 1
             cur_voxels = int(int(cfg_model.num_voxels) / (2 ** n_rest))
             params, model_cfg = tineuvox.scale_volume_grid(
                 params, model_cfg, cur_voxels)
-            step_fn, opt_state = build_segment(params)
+            rebuild = True
+        if use_occ and global_step == occ_start:
+            occupancy_active = True
+            rebuild = True
+        if rebuild:
+            step_fn, opt_state = build_segment(params, model_cfg,
+                                               occupancy_active)
+            if occupancy_active:
+                occ = refresh_occupancy(params, model_cfg)
+        elif occupancy_active and global_step % occ_every == 0:
+            occ = refresh_occupancy(params, model_cfg)
 
         sel = next(gen)
         rgb, mval, tval, cam, pix = ray_index.gather(sel)
@@ -205,7 +260,12 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         tv_on = jnp.float32(
             1.0 if (global_step < tv_before and global_step > tv_after
                     and global_step % tv_every == 0) else 0.0)
-        params, opt_state, loss, mse = step_fn(params, opt_state, batch, tv_on)
+        if occupancy_active:
+            params, opt_state, loss, mse = step_fn(params, opt_state, batch,
+                                                   tv_on, occ)
+        else:
+            params, opt_state, loss, mse = step_fn(params, opt_state, batch,
+                                                   tv_on)
 
         if global_step % log_every == 0 or global_step == n_iters:
             psnr = -10.0 * np.log10(float(mse))
