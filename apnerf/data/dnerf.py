@@ -68,8 +68,12 @@ def load_dnerf_data(basedir, half_res=True, testskip=1, load_test_val=False):
         poses = all_poses[0]
         times = all_times[0]
     else:
-        i_split = [np.arange(counts[i], counts[i + 1]) for i in range(3)]
-        i_split[0] = []
+        # indices into the concatenated val+test array (the reference keeps
+        # whole-dataset indices here, which over-run the loaded array)
+        n_val = counts[2] - counts[1]
+        n_test = counts[3] - counts[2]
+        i_split = [np.array([], np.int64), np.arange(n_val),
+                   np.arange(n_val, n_val + n_test)]
         imgs = np.concatenate(all_imgs[1:], 0)
         poses = np.concatenate(all_poses[1:], 0)
         times = np.concatenate(all_times[1:], 0)

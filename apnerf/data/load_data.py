@@ -66,8 +66,9 @@ def load_data(data_cfg, cfg=None, load_test_val=False, bg_col=1):
 
     return dict(
         hwf=hwf, HW=HW, Ks=np.asarray(Ks, np.float32), near=near, far=far,
-        i_train=np.asarray(i_train), i_val=np.asarray(i_val),
-        i_test=np.asarray(i_test),
+        i_train=np.asarray(i_train, dtype=np.int64),
+        i_val=np.asarray(i_val, dtype=np.int64),
+        i_test=np.asarray(i_test, dtype=np.int64),
         poses=np.asarray(poses, np.float32),
         render_poses=np.asarray(render_poses, np.float32),
         images=images, times=np.asarray(times, np.float32),

@@ -162,5 +162,15 @@ def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
 
 
 def write_video(path, frames, fps=30):
+    """mp4 via imageio/ffmpeg; animated GIF fallback when no ffmpeg backend
+    is available (this image has none)."""
     import imageio.v2 as imageio
-    imageio.mimwrite(path, metrics.to8b(frames), fps=fps, quality=8)
+    frames8 = metrics.to8b(frames)
+    if frames8.ndim == 3:
+        frames8 = frames8[..., None].repeat(3, -1)
+    try:
+        imageio.mimwrite(path, frames8, fps=fps, quality=8)
+    except (ValueError, ImportError):
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, frames8, duration=1000.0 / fps, loop=0)
+        print(f"write_video: no mp4 backend, wrote {gif}")
