@@ -43,7 +43,7 @@ def load_robot(data_dir, video_len: int = 300, size: int = 512, test=False,
     c = 0
     for f_id in range(0, video_len, step):
         for cam_pos, c_id in enumerate(chosen):
-            times.append(f_id / (video_len - 1))
+            times.append(f_id / max(video_len - 1, 1))
             if not (skip_images and f_id > 0):
                 img = imageio.imread(
                     os.path.join(data_dir, f"frame_{f_id:05d}_cam_{c_id:03d}.png"))
