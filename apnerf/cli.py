@@ -125,9 +125,12 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
             canonical_pcd_num=float(
                 cfg.pcd_model_and_render.canonical_pcd_num))
         scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+        tb_path = os.path.join("./logs/tensorboard",
+                               os.path.basename(os.path.normpath(save_path)))
         p2, m2, st2, _ = stage2.train_pcd(
             cfg, data_dict, art["canonical"], art["skeleton"], params, mcfg,
-            scene_bbox, seed=args.seed, log_every=args.i_print)
+            scene_bbox, seed=args.seed, log_every=args.i_print,
+            tensorboard_path=tb_path, i_save=args.i_save)
         save_temporalpoints(os.path.join(save_path, "temporalpoints_last.pkl"),
                             p2, m2, st2, art, mcfg)
 
@@ -258,6 +261,21 @@ def main(argv=None):
     if args.repose_pcd:
         repose(args, cfg, save_path, data_dict, params, mcfg, state,
                near, far, bg, flags)
+
+    if args.visualise_canonical and args.render_pcd:
+        from .kinematics.visualize import visualise_skeletonizer
+        from .models import temporal_points as tp_mod
+        weights = np.asarray(tp_mod.get_weights(params, mcfg, state))
+        if prune_info is not None:
+            joints_v = prune_info["new_joints"]
+            bones_v = prune_info["new_bones"]
+        else:
+            joints_v = np.asarray(params["joints"])
+            bones_v = np.asarray(state["bones"])
+        visualise_skeletonizer(
+            np.asarray(state["skeleton_pcd"]), np.asarray(params["joints"])[0],
+            joints_v, bones_v, np.asarray(state["canonical_pcd"]), weights,
+            save_path=os.path.join(save_path, "canonical_skeleton.png"))
 
 
 def repose(args, cfg, save_path, data_dict, params, mcfg, state, near, far,

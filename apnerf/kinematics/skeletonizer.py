@@ -169,3 +169,37 @@ def create_skeleton(alpha_volume, grid_xyz, bone_length=10.0, threshold=0.05,
         "pcd": pcd,
         "weights": weights,
     }
+
+
+def _main():  # pragma: no cover
+    """Standalone smoke harness (reference skeletonizer.py:425-449): run
+    skeletonisation on a shipped volume (``alpha_volume.npy`` + ``grid.txt``
+    with min/max/shape lines) and save a visualisation PNG."""
+    import argparse
+    from .visualize import visualise_skeletonizer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--volume", default="./data/alpha_volume_f16.npy")
+    ap.add_argument("--grid", default="./data/grid.txt")
+    ap.add_argument("--bone_length", type=float, default=10.0)
+    ap.add_argument("--sigma", type=float, default=1.0)
+    ap.add_argument("--weight_theta", type=float, default=0.03)
+    args = ap.parse_args()
+
+    alpha = np.load(args.volume).astype(np.float64)
+    with open(args.grid) as f:
+        lines = [np.array(l.strip().split(","), float) for l in f]
+    lo, hi, shape = lines[0], lines[1], lines[2].astype(int)
+    axes = [np.linspace(lo[d], hi[d], shape[d]) for d in range(3)]
+    grid_xyz = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
+
+    res = create_skeleton(alpha, grid_xyz, bone_length=args.bone_length,
+                          sigma=args.sigma, weight_theta=args.weight_theta)
+    print(f"{len(res['bones'])} bones, {len(res['joints'])} joints, "
+          f"{len(res['skeleton_pcd'])} skeleton voxels")
+    visualise_skeletonizer(res["skeleton_pcd"], res["root"], res["joints"],
+                           res["bones"], res["pcd"], res["weights"])
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

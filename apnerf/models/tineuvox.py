@@ -334,6 +334,37 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
     return out
 
 
+def ray_density(params, cfg: TiNeuVoxConfig, rays_o, rays_d, times_sel, near,
+                far, stepsize, n_max_steps: int):
+    """Density-only forward (reference ``TiNeuVox.ray_density``,
+    lib/tineuvox.py:566-625): per-ray weights without the deformation warp
+    or colour head. Returns weights, s, n_max, valid."""
+    N = rays_o.shape[0]
+    tfeat = time_feature(params, cfg, times_sel)
+    stepdist = stepsize * cfg.voxel_size
+    samples = rayops.sample_pts_on_rays(rays_o, rays_d, cfg.xyz_min,
+                                        cfg.xyz_max, near, far, stepdist,
+                                        n_max_steps)
+    S = n_max_steps
+    tfeat_b = jnp.broadcast_to(tfeat[:, None, :], (N, S, tfeat.shape[-1]))
+    # canonical=True: no deformation (reference :585 uses raw pts)
+    h, _ = query_density_features(params, cfg, samples.pts, tfeat_b,
+                                  canonical=True)
+    density = nn.mlp(params["densitynet"], h)[..., 0]
+    interval = stepsize * cfg.voxel_size_ratio
+    alpha = raw2alpha(density, cfg.act_shift, interval)
+    valid = samples.valid
+    if cfg.fast_color_thres > 0:
+        valid = valid & (alpha > cfg.fast_color_thres)
+    weights, _ = alpha2weights(alpha, valid)
+    if cfg.fast_color_thres > 0:
+        weights = jnp.where(weights > cfg.fast_color_thres, weights, 0.0)
+    n_samples_global = cfg.n_samples(stepsize)
+    s = (samples.step_id.astype(jnp.float32) + 0.5) / n_samples_global
+    return {"weights": weights, "s": s, "n_max": n_samples_global,
+            "valid": valid}
+
+
 # --------------------------------------------------------------------------
 # Dense grid evaluation (export path)
 # --------------------------------------------------------------------------

@@ -139,8 +139,13 @@ def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
 
 def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
               tineuvox_cfg, scene_bbox, seed=0, n_iters=None, log_every=1000,
-              callback=None, sample_budget=None):
-    """Run stage-2 training; returns (params, mcfg, state, stats)."""
+              callback=None, sample_budget=None, tensorboard_path=None,
+              i_save=5000):
+    """Run stage-2 training; returns (params, mcfg, state, stats).
+
+    With ``tensorboard_path``: per-interval loss-term scalars and periodic
+    GT/prediction image grids (reference run.py:724-811 observability).
+    """
     cfg_train = cfg.pcd_train_config
     n_iters = n_iters or int(cfg_train.N_iters)
     rng = np.random.default_rng(seed)
@@ -209,6 +214,43 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
                 ys, xs = np.zeros(1, np.int64), np.zeros(1, np.int64)
             mask_pix.append(np.stack([ys, xs], -1).astype(np.float32))
 
+    writer = None
+    if tensorboard_path:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(tensorboard_path)
+        except ImportError:
+            print("stage2: tensorboardX unavailable, logging to console only")
+
+    @jax.jit
+    def preview_chunk(params, ro, rd, vd, t):
+        res = tp.forward(params, mcfg, state, ro, rd, vd, t=t,
+                         near=data_dict["near"], far=data_dict["far"],
+                         bg=float(cfg_train.bg_col))
+        return res["rgb_marched"]
+
+    def render_preview(params, img_row, factor=4):
+        img_idx = i_train[img_row]
+        h, w = H // factor, W // factor
+        K = data_dict["Ks"][ray_index.img_cam[img_row]].copy()
+        K[:2, :3] /= factor
+        pix = jnp.arange(h * w, dtype=jnp.int32)
+        cam = jnp.full((h * w,), int(ray_index.img_cam[img_row]), jnp.int32)
+        Kd = jnp.asarray(K)[None]
+        cd = jnp.asarray(
+            data_dict["poses"][ray_index.img_cam[img_row]])[None]
+        ro, rd, vd = raydata.pixels_to_rays(
+            Kd, cd, jnp.zeros_like(pix), pix, h, w,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y)
+        rgb = preview_chunk(params, ro, rd, vd,
+                            jnp.float32(ray_index.img_time[img_row]))
+        gt = np.asarray(data_dict["images"][img_idx], np.float32)
+        if gt.max() > 1.5:
+            gt = gt / 255.0
+        gt = gt[::factor, ::factor, :3]
+        return np.asarray(rgb).reshape(h, w, 3), gt
+
     stats = {"psnr": [], "loss": []}
     t0 = time.time()
     for global_step in range(1, n_iters + 1):
@@ -255,7 +297,28 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
             print(f"stage2: iter {global_step:6d} | loss "
                   f"{float(metrics['loss']):.5f} | psnr {psnr:5.2f} | "
                   f"t {t_min}-{t_max} | {time.time() - t0:.1f}s")
+            if writer is not None:
+                writer.add_scalar("metrics/PSNR", psnr, global_step)
+                for k in ("mse", "arap", "weight_tv", "sparsity",
+                          "trans_reg", "joint_chamfer", "chamfer2d", "loss"):
+                    if k in metrics:
+                        writer.add_scalar(f"metrics/{k}", float(metrics[k]),
+                                          global_step)
+                writer.add_scalar("metrics/eps_time", time.time() - t0,
+                                  global_step)
             if callback is not None:
                 callback(global_step, params, mcfg, state, stats)
 
+        if writer is not None and (global_step % i_save == 0
+                                   or global_step == 1):
+            rows = rng.integers(0, len(i_train), 3)
+            panels = []
+            for r in rows:
+                pred, gt = render_preview(params, int(r))
+                panels.append(np.concatenate([gt, pred], axis=1))
+            grid = np.clip(np.concatenate(panels, axis=0), 0, 1)
+            writer.add_image("payload", grid.transpose(2, 0, 1), global_step)
+
+    if writer is not None:
+        writer.close()
     return params, mcfg, state, stats
