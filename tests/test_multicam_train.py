@@ -1,0 +1,101 @@
+"""Stage-2 trainer on a multi-camera (WIM/ZJU-shaped) data_dict: exercises
+the shared-camera ray index, pose_one_each=False 2D-chamfer branch and the
+time curriculum."""
+import numpy as np
+import pytest
+
+from apnerf.config.config import ConfigDict, _to_config
+
+
+def _multicam_data(n_cams=3, n_t=2, H=24, W=24, seed=0):
+    rng = np.random.default_rng(seed)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * n_cams)
+    for c in range(n_cams):
+        th = 0.4 * c
+        poses[c, 0, 0] = np.cos(th); poses[c, 0, 2] = np.sin(th)
+        poses[c, 2, 0] = -np.sin(th); poses[c, 2, 2] = np.cos(th)
+        poses[c, :3, 3] = poses[c, :3, :3] @ np.array([0, 0, 3.0])
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.repeat(K[None], n_cams, 0)
+    n_img = n_cams * n_t
+    images = (rng.random((n_img, H, W, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((n_img, H, W, 1), np.uint8)
+    masks[:, 8:16, 8:16] = 1
+    times = np.repeat(np.linspace(0, 1, n_t), n_cams).astype(np.float32)
+    img_to_cam = np.tile(np.arange(n_cams), n_t)
+    return dict(
+        HW=np.array([[H, W]] * n_img), Ks=Ks, near=0.5, far=6.0,
+        i_train=np.arange(n_img), i_val=np.array([], np.int64),
+        i_test=np.array([], np.int64), poses=poses,
+        render_poses=poses[:1], images=images, times=times,
+        render_times=np.zeros(1), img_to_cam=img_to_cam, masks=masks,
+        hwf=[H, W, 30.0], irregular_shape=False)
+
+
+def test_train_pcd_multicam_chamfer():
+    import jax
+    from apnerf.train import stage2
+    from apnerf.models import tineuvox
+    import apnerf.ops.nn as onn
+
+    rng = np.random.default_rng(1)
+    data = _multicam_data()
+    P, J, F = 80, 4, 8
+    joints = np.array([[0, 0, 0], [0.2, 0, 0], [0.4, 0, 0], [0.2, 0.2, 0]],
+                      np.float32)
+    bones = [[0, 1], [1, 2], [1, 3]]
+    pcd = (joints[rng.integers(0, J, P)]
+           + rng.normal(size=(P, 3)) * 0.05).astype(np.float32)
+    canonical = {
+        "pcd": pcd, "feat": rng.normal(size=(P, F)).astype(np.float32),
+        "alphas": np.full(P, 0.5, np.float32),
+        "rgbs": np.full((P, 3), 0.5, np.float32),
+        "xyz_min": pcd.min(0), "xyz_max": pcd.max(0), "voxel_size": 0.05,
+        "t": 0.0,
+    }
+    skeleton = {"skeleton_pcd": pcd[:10], "joints": joints, "bones": bones,
+                "root": joints[0], "pcd": pcd, "weights": None}
+
+    tnv_cfg = tineuvox.TiNeuVoxConfig(
+        xyz_min=(-1, -1, -1), xyz_max=(1, 1, 1), num_voxels=8 ** 3,
+        num_voxels_base=8 ** 3, voxel_dim=4, defor_depth=2, net_width=F,
+        posbase_pe=4, viewbase_pe=2, timebase_pe=2, gridbase_pe=1,
+        alpha_init=1e-3)
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 3)
+    tnv_params = {
+        "rgbnet": tineuvox.init_rgbnet(ks[0], F, tnv_cfg.views_ch),
+        "densitynet": onn.init_mlp(ks[1], [F, 1]),
+        "timenet": onn.init_mlp(ks[2], [tnv_cfg.times_ch, 16, F]),
+    }
+
+    cfg = _to_config({
+        "data": {"canonical_t": 0.0, "inverse_y": False, "flip_x": False,
+                 "flip_y": False},
+        "pcd_train_config": {
+            "bg_col": 1, "pose_one_each": False, "N_iters": 4,
+            "full_t_iter": 2, "lrate_decay": 1, "N_rand": 64,
+            "weight_render": 2e2, "weight_chamfer2D": 5e-3,
+            "weight_arap": 5e-3, "weight_joint_chamfer": 1.0,
+            "weight_transformation_reg": 1e-1, "weight_tv": 1e1,
+            "weight_sparsity": 2e-1, "over_parameterized_rot": True,
+            "pose_embedding_dim": 0, "use_global_view_dir": False,
+            "lrate_rgbnet": 1e-4, "lrate_densitynet": 1e-4,
+            "lrate_canonical_feat": 1e-4, "lrate_gammas": 1e-3,
+            "lrate_weights": 1e-4, "lrate_theta_weight": 1e-4,
+            "lrate_forward_warp": 1e-4, "lrate_joints": 1e-5,
+            "lrate_feat_net": 1e-3, "skip_zero_grad_fields": [],
+        },
+        "pcd_model_and_render": {
+            "stepsize": 0.5, "world_bound_scale": 1.05,
+            "fast_color_thres": 1e-4,
+        },
+    })
+
+    scene_bbox = (np.array([-1.0, -1.0, -1.0]), np.array([1.0, 1.0, 1.0]))
+    params, mcfg, state, stats = stage2.train_pcd(
+        cfg, data, canonical, skeleton, tnv_params, tnv_cfg, scene_bbox,
+        n_iters=4, log_every=2, sample_budget=16)
+    assert np.isfinite(stats["loss"][-1])
+    # multi-cam chamfer branch actually ran
+    assert float(cfg.pcd_train_config.weight_chamfer2D) > 0
