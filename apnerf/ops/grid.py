@@ -31,6 +31,46 @@ def grid_interp(grid, xyz, xyz_min, xyz_max):
     return _interp_at_indices(grid, u)
 
 
+@jax.custom_vjp
+def _corner_gather(grid_flat, lin, w):
+    """sum_k grid_flat[lin[:, k]] * w[:, k, None] -> [M, C].
+
+    Custom VJP: the gradient w.r.t. the grid is a scatter-add of M*8 rows —
+    routed through the Pallas sorted-window-accumulation kernel on TPU
+    (kernels/scatter_pallas.py) instead of XLA's slow generic scatter.
+    """
+    out = 0.0
+    for k in range(lin.shape[1]):
+        out = out + grid_flat[lin[:, k]] * w[:, k, None]
+    return out
+
+
+def _corner_gather_fwd(grid_flat, lin, w):
+    return _corner_gather(grid_flat, lin, w), (grid_flat, lin, w)
+
+
+def _corner_gather_bwd(res, g):
+    grid_flat, lin, w = res
+    K = lin.shape[1]
+    C = grid_flat.shape[1]
+    # d/dgrid: scatter-add of per-corner weighted cotangents
+    upd = jnp.concatenate([g * w[:, k, None] for k in range(K)], axis=0)
+    idx = lin.T.reshape(-1)
+    if jax.default_backend() in ("tpu", "axon") and C <= 16:
+        from ..kernels.scatter_pallas import scatter_add_rows
+        dgrid = scatter_add_rows(idx, upd, grid_flat.shape[0])
+    else:
+        dgrid = jnp.zeros_like(grid_flat).at[idx].add(
+            upd.astype(grid_flat.dtype))
+    # d/dw: per-corner inner products
+    dw = jnp.stack(
+        [(grid_flat[lin[:, k]] * g).sum(-1) for k in range(K)], axis=1)
+    return dgrid.astype(grid_flat.dtype), None, dw
+
+
+_corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)
+
+
 def _interp_at_indices(grid, u):
     """Trilinear interp at fractional voxel indices ``u [..., 3]``."""
     sx, sy, sz, _ = grid.shape
@@ -44,7 +84,7 @@ def _interp_at_indices(grid, u):
         return (i >= 0) & (i < size)
 
     grid_flat = grid.reshape(-1, grid.shape[-1])
-    out = 0.0
+    lins, ws = [], []
     for dx in (0, 1):
         ix = i1[:, 0] if dx else i0[:, 0]
         wx = frac[:, 0] if dx else 1.0 - frac[:, 0]
@@ -57,9 +97,10 @@ def _interp_at_indices(grid, u):
                 ok = inb(ix, sx) & inb(iy, sy) & inb(iz, sz)
                 lin = (jnp.clip(ix, 0, sx - 1) * sy
                        + jnp.clip(iy, 0, sy - 1)) * sz + jnp.clip(iz, 0, sz - 1)
-                vals = grid_flat[lin]
-                w = (wx * wy * wz) * ok.astype(grid.dtype)
-                out = out + vals * w[:, None]
+                lins.append(lin)
+                ws.append((wx * wy * wz) * ok.astype(grid.dtype))
+    out = _corner_gather(grid_flat.astype(jnp.float32),
+                         jnp.stack(lins, 1), jnp.stack(ws, 1))
     return out.reshape(*lead, grid.shape[-1])
 
 
