@@ -121,7 +121,8 @@ def scatter_add_rows(idx, upd, n_rows: int):
 
     Drop-in replacement for ``zeros.at[idx].add(upd)`` when idx is 1-D and
     upd is [M, C<=16]. Falls back to the XLA scatter off-TPU."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    from ..ops.knn import _tpu_default
+    if not _tpu_default():
         return jnp.zeros((n_rows, upd.shape[1]), upd.dtype).at[idx].add(upd)
     order = jnp.argsort(idx)
     return sorted_window_accumulate(idx[order], upd[order], n_rows)

@@ -56,7 +56,8 @@ def _corner_gather_bwd(res, g):
     # d/dgrid: scatter-add of per-corner weighted cotangents
     upd = jnp.concatenate([g * w[:, k, None] for k in range(K)], axis=0)
     idx = lin.T.reshape(-1)
-    if jax.default_backend() in ("tpu", "axon") and C <= 16:
+    from .knn import _tpu_default
+    if _tpu_default() and C <= 16:
         from ..kernels.scatter_pallas import scatter_add_rows
         dgrid = scatter_add_rows(idx, upd, grid_flat.shape[0])
     else:
