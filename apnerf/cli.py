@@ -102,7 +102,9 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
         else:
             params, mcfg, _ = stage1.scene_rep_reconstruction(
                 cfg, data_dict, seed=args.seed, log_every=args.i_print,
-                step_to_half=args.step_to_half)
+                step_to_half=args.step_to_half,
+                ckpt_path=os.path.join(save_path, "fine_progress.pkl"),
+                ckpt_every=args.i_save)
             ckpt.save_checkpoint(ck1, mcfg.get_kwargs(), params)
 
     if 2 in stages:
@@ -130,7 +132,9 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
         p2, m2, st2, _ = stage2.train_pcd(
             cfg, data_dict, art["canonical"], art["skeleton"], params, mcfg,
             scene_bbox, seed=args.seed, log_every=args.i_print,
-            tensorboard_path=tb_path, i_save=args.i_save)
+            tensorboard_path=tb_path, i_save=args.i_save,
+            ckpt_path=os.path.join(save_path, "temporalpoints_progress.pkl"),
+            ckpt_every=args.i_save)
         save_temporalpoints(os.path.join(save_path, "temporalpoints_last.pkl"),
                             p2, m2, st2, art, mcfg)
 

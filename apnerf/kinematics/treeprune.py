@@ -184,3 +184,31 @@ def flatten_merging_rules(merging_rules):
                 out.append(j)
                 break
     return out
+
+
+def _main():  # pragma: no cover
+    """Standalone demo (the reference ships a hardcoded 29-joint fixture,
+    lib/treeprune.py:298-481): build a random tree, prune half the joints,
+    and save before/after visualisations."""
+    from .visualize import visualise_merging
+    rng = np.random.default_rng(0)
+    J = 17
+    parent = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5, 9: 5,
+              10: 6, 11: 7, 12: 8, 13: 9, 14: 10, 15: 11, 16: 12}
+    bones = np.array([[p, c] for c, p in parent.items()])
+    joints = rng.normal(size=(J, 3)).astype(np.float32)
+    prune = np.zeros(J, bool)
+    prune[[3, 4, 8, 10, 13]] = True
+    sim = np.eye(J, dtype=bool)
+    for a, b in [(6, 7), (11, 12), (14, 15)]:
+        sim[a, b] = sim[b, a] = True
+    new_joints, new_bones, merging_rules, *_ = merge_joints(
+        joints, bones, prune, sim, convert_merging_rules=False)
+    print(f"joints {J} -> {len(new_joints)}; bones {len(bones)} -> "
+          f"{len(new_bones)}")
+    visualise_merging(joints, bones, new_joints, new_bones, prune,
+                      merging_rules)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

@@ -14,6 +14,7 @@ loss+backward+Adam update is a single fused XLA computation.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Dict
 
@@ -121,8 +122,12 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
 
 def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                              log_every=1000, step_to_half=100000,
-                             callback=None):
-    """Run stage-1 training end to end; returns (params, model_cfg, stats)."""
+                             callback=None, ckpt_path=None, ckpt_every=0):
+    """Run stage-1 training end to end; returns (params, model_cfg, stats).
+
+    With ``ckpt_path`` + ``ckpt_every``: periodic mid-stage checkpoints
+    (params, Adam state, step, occupancy) and automatic resume — the
+    reference loses the whole stage on a crash (SURVEY.md §5.3)."""
     cfg_train = cfg.train_config
     cfg_model = cfg.model_and_render
     n_iters = n_iters or int(cfg_train.N_iters)
@@ -219,15 +224,44 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                                active_budget=budget)
         return step, opt_state
 
-    occupancy_active = False
-    step_fn, opt_state = build_segment(params, model_cfg, False)
+    # ---- mid-stage resume ------------------------------------------
+    start_step = 0
+    resume_payload = None
+    if ckpt_path and os.path.isfile(ckpt_path):
+        from ..utils.checkpoint import load_checkpoint
+        resume_payload = load_checkpoint(ckpt_path)
+        start_step = int(resume_payload["global_step"])
+        model_cfg = tineuvox.TiNeuVoxConfig(**resume_payload["model_kwargs"])
+        params = resume_payload["params"]
+        print(f"stage1: resuming from {ckpt_path} at step {start_step}")
+
+    occupancy_active = bool(use_occ and start_step >= occ_start)
+    step_fn, opt_state = build_segment(params, model_cfg, occupancy_active)
+    if resume_payload is not None:
+        from .masked_adam import MaskedAdamState
+        saved = resume_payload.get("opt_state")
+        if saved is not None:
+            opt_state = MaskedAdamState(
+                count=jnp.asarray(saved["count"]),
+                mu=jax.device_put(saved["mu"]),
+                nu=jax.device_put(saved["nu"]))
+        if occupancy_active:
+            occ = refresh_occupancy(params, model_cfg)
     tv_before = float(cfg_train.get("tv_before", 1e9))
     tv_after = float(cfg_train.get("tv_after", 0))
     tv_every = int(cfg_train.get("tv_every", 1))
     stats = {"psnr": [], "loss": []}
     t0 = time.time()
 
-    for global_step in range(1, n_iters + 1):
+    def save_progress(step, params, model_cfg, opt_state):
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(ckpt_path, model_cfg.get_kwargs(), params,
+                        extra={"opt_state": {
+                            "count": opt_state.count,
+                            "mu": opt_state.mu, "nu": opt_state.nu}},
+                        global_step=step)
+
+    for global_step in range(1 + start_step, n_iters + 1):
         if global_step == step_to_half:
             params["feature"] = params["feature"].astype(jnp.bfloat16)
         rebuild = False
@@ -275,5 +309,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                   f"| psnr {psnr:5.2f} | {time.time() - t0:.1f}s")
             if callback is not None:
                 callback(global_step, params, model_cfg, stats)
+        if ckpt_path and ckpt_every and global_step % ckpt_every == 0:
+            save_progress(global_step, params, model_cfg, opt_state)
 
     return params, model_cfg, stats

@@ -140,11 +140,13 @@ def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
 def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
               tineuvox_cfg, scene_bbox, seed=0, n_iters=None, log_every=1000,
               callback=None, sample_budget=None, tensorboard_path=None,
-              i_save=5000):
+              i_save=5000, ckpt_path=None, ckpt_every=0):
     """Run stage-2 training; returns (params, mcfg, state, stats).
 
     With ``tensorboard_path``: per-interval loss-term scalars and periodic
     GT/prediction image grids (reference run.py:724-811 observability).
+    With ``ckpt_path`` + ``ckpt_every``: mid-stage checkpoint/resume
+    (params + Adam state + step; the reference loses the stage on a crash).
     """
     cfg_train = cfg.pcd_train_config
     n_iters = n_iters or int(cfg_train.N_iters)
@@ -176,6 +178,31 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
 
     optimizer = create_optimizer(params, dict(cfg_train))
     opt_state = optimizer.init(params)
+
+    # ---- mid-stage resume ------------------------------------------
+    import os as _os
+    import dataclasses as _dc
+    start_step = 0
+    if ckpt_path and _os.path.isfile(ckpt_path):
+        from ..utils.checkpoint import load_checkpoint
+        from .masked_adam import MaskedAdamState
+        payload = load_checkpoint(ckpt_path)
+        start_step = int(payload["global_step"])
+        params = payload["params"]
+        saved = payload.get("opt_state")
+        if saved is not None:
+            opt_state = MaskedAdamState(count=jnp.asarray(saved["count"]),
+                                        mu=jax.device_put(saved["mu"]),
+                                        nu=jax.device_put(saved["nu"]))
+        print(f"stage2: resuming from {ckpt_path} at step {start_step}")
+
+    def save_progress(step):
+        from ..utils.checkpoint import save_checkpoint
+        save_checkpoint(ckpt_path, _dc.asdict(mcfg), params,
+                        extra={"opt_state": {
+                            "count": opt_state.count,
+                            "mu": opt_state.mu, "nu": opt_state.nu}},
+                        global_step=step)
 
     unique_times = np.unique(np.asarray(data_dict["times"])[i_train])
     canonical_idx = int(np.argmin(np.abs(unique_times
@@ -253,7 +280,7 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
 
     stats = {"psnr": [], "loss": []}
     t0 = time.time()
-    for global_step in range(1, n_iters + 1):
+    for global_step in range(1 + start_step, n_iters + 1):
         t_max, t_min = curriculum_window(global_step, len(unique_times),
                                          full_t_iter, canonical_idx)
         rnd_i = sampler.sample(t_min, t_max)
@@ -308,6 +335,9 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
                                   global_step)
             if callback is not None:
                 callback(global_step, params, mcfg, state, stats)
+
+        if ckpt_path and ckpt_every and global_step % ckpt_every == 0:
+            save_progress(global_step)
 
         if writer is not None and (global_step % i_save == 0
                                    or global_step == 1):
