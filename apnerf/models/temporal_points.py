@@ -266,17 +266,11 @@ def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
     return pts_c, valid_c, step_c
 
 
-def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
-                  inv_rot, rays_o, rays_d, viewdirs, near, far,
-                  query_radius, pose_embedding=None, render_pcd_direct=False,
-                  render_weights=False, lbs_weights=None, calc_min_max=True):
-    """KNN feature aggregation along rays (reference ``aggregate_pts``,
-    lib/temporalpoints.py:416-521), dense masked layout.
-
-    Returns per-sample arrays shaped [R, B(, .)] plus the valid mask.
-    """
-    R = rays_o.shape[0]
-    K = cfg.neighbours
+def prepare_occupancy(cfg: TemporalPointsConfig, state, t_hat_pcd,
+                      query_radius, calc_min_max=True):
+    """Per-frame bbox + occupancy grid of the warped cloud (hoistable: the
+    reference recomputes the warp per ray chunk, run.py:136-151; computing
+    this once per frame is free speedup for chunked rendering)."""
     if calc_min_max:
         # sample positions are non-differentiable in the reference (the CUDA
         # sampler has no backward); keep the bbox out of the grad graph too
@@ -287,9 +281,30 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         bb_min, bb_max = state["xyz_min"], state["xyz_max"]
     occ, occ_cell = build_occupancy(jax.lax.stop_gradient(t_hat_pcd),
                                     bb_min, bb_max, query_radius)
+    return {"bb_min": bb_min, "bb_max": bb_max, "occ": occ,
+            "occ_cell": occ_cell}
+
+
+def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
+                  inv_rot, rays_o, rays_d, viewdirs, near, far,
+                  query_radius, pose_embedding=None, render_pcd_direct=False,
+                  render_weights=False, lbs_weights=None, calc_min_max=True,
+                  occ_info=None):
+    """KNN feature aggregation along rays (reference ``aggregate_pts``,
+    lib/temporalpoints.py:416-521), dense masked layout.
+
+    Returns per-sample arrays shaped [R, B(, .)] plus the valid mask.
+    """
+    R = rays_o.shape[0]
+    K = cfg.neighbours
+    if occ_info is None:
+        occ_info = prepare_occupancy(cfg, state, t_hat_pcd, query_radius,
+                                     calc_min_max)
+    bb_min, bb_max = occ_info["bb_min"], occ_info["bb_max"]
     pts, valid, step_id = sample_rays_compact(cfg, rays_o, rays_d, near, far,
-                                              bb_min, bb_max, occ=occ,
-                                              occ_cell=occ_cell)
+                                              bb_min, bb_max,
+                                              occ=occ_info["occ"],
+                                              occ_cell=occ_info["occ_cell"])
     B = cfg.sample_budget
     M_full = R * B
     q_full = pts.reshape(M_full, 3)
@@ -427,24 +442,41 @@ def project_points(points, c2w, K):
     return pix[:, :2] / pix[:, 2:]
 
 
-def forward(params, cfg: TemporalPointsConfig, state, rays_o, rays_d,
-            viewdirs, t=None, rot_params=None, near=0.0, far=1e9, bg=1.0,
-            query_radius=0.01, render_depth=False, render_weights=False,
-            render_pcd_direct=False, calc_min_max=True):
-    """Full forward: warp -> aggregate -> composite
-    (reference TemporalPoints.forward, lib/temporalpoints.py:540-712)."""
+def prepare_frame(params, cfg: TemporalPointsConfig, state, t=None,
+                  rot_params=None, query_radius=0.01, calc_min_max=True):
+    """Per-frame state (warp + inverse frames + pose embedding + occupancy)
+    shared by all ray chunks of one render."""
     wout = warp(params, cfg, state, t=t, rot_params=rot_params)
-    t_hat = wout["xyz"]
-    inv_rot = jnp.linalg.inv(wout["frames"])[:, :3, :3]
-
-    pose_embedding = None
+    wout["inv_rot"] = jnp.linalg.inv(wout["frames"])[:, :3, :3]
     if cfg.pose_embedding_dim > 0:
         delta = jax.lax.stop_gradient(params["joints"] - wout["joints_rel"])
         emb = encoding.poc_fre(delta, encoding.poc_freqs(cfg.posbase_pe))
-        pose_embedding = nn.mlp(params["pose_embedding_net"],
-                                emb.reshape(1, -1),
-                                activation=nn.leaky_relu,
-                                final_activation=nn.leaky_relu)
+        wout["pose_embedding"] = nn.mlp(params["pose_embedding_net"],
+                                        emb.reshape(1, -1),
+                                        activation=nn.leaky_relu,
+                                        final_activation=nn.leaky_relu)
+    else:
+        wout["pose_embedding"] = None
+    wout["occ_info"] = prepare_occupancy(cfg, state, wout["xyz"],
+                                         query_radius, calc_min_max)
+    return wout
+
+
+def forward(params, cfg: TemporalPointsConfig, state, rays_o, rays_d,
+            viewdirs, t=None, rot_params=None, near=0.0, far=1e9, bg=1.0,
+            query_radius=0.01, render_depth=False, render_weights=False,
+            render_pcd_direct=False, calc_min_max=True, frame=None):
+    """Full forward: warp -> aggregate -> composite
+    (reference TemporalPoints.forward, lib/temporalpoints.py:540-712).
+
+    ``frame``: optional precomputed ``prepare_frame`` output (chunked
+    rendering hoists the per-frame warp/occupancy out of the chunk loop)."""
+    wout = frame if frame is not None else prepare_frame(
+        params, cfg, state, t=t, rot_params=rot_params,
+        query_radius=query_radius, calc_min_max=calc_min_max)
+    t_hat = wout["xyz"]
+    inv_rot = wout["inv_rot"]
+    pose_embedding = wout["pose_embedding"]
 
     agg = aggregate_pts(params, cfg, state, t_hat, inv_rot, rays_o, rays_d,
                         viewdirs, near, far, query_radius,
@@ -452,7 +484,8 @@ def forward(params, cfg: TemporalPointsConfig, state, rays_o, rays_d,
                         render_pcd_direct=render_pcd_direct,
                         render_weights=render_weights,
                         lbs_weights=wout["lbs_weights"],
-                        calc_min_max=calc_min_max)
+                        calc_min_max=calc_min_max,
+                        occ_info=wout["occ_info"])
 
     valid = agg["valid"]
     alpha = agg["alpha"]

@@ -58,13 +58,17 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
     cols_dev = jnp.asarray(cols)
 
     @partial(jax.jit, static_argnames=("use_rot",))
-    def chunk(ro, rd, vd, t, rot_params, use_rot):
+    def prep(t, rot_params, use_rot):
+        return tp.prepare_frame(params, mcfg, state,
+                                t=None if use_rot else t,
+                                rot_params=rot_params if use_rot else None)
+
+    @jax.jit
+    def chunk(frame, ro, rd, vd):
         res = tp.forward(params, mcfg, state, ro, rd, vd,
-                         t=None if use_rot else t,
-                         rot_params=rot_params if use_rot else None,
                          near=near, far=far, bg=bg, render_depth=True,
                          render_weights=render_weights,
-                         render_pcd_direct=render_pcd_direct)
+                         render_pcd_direct=render_pcd_direct, frame=frame)
         out = {"rgb_marched": res["rgb_marched"], "depth": res["depth"]}
         if render_pcd_direct and "rgb_marched_direct" in res:
             out["rgb_marched"] = res["rgb_marched_direct"]
@@ -80,9 +84,10 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
     def for_view(i, t, rot_params=None):
         use_rot = rot_params is not None
         rp = jnp.asarray(rot_params) if use_rot else zeros_rot
+        frame = prep(jnp.float32(t or 0.0), rp, use_rot)
 
         def fn(ro, rd, vd):
-            out = dict(chunk(ro, rd, vd, jnp.float32(t or 0.0), rp, use_rot))
+            out = dict(chunk(frame, ro, rd, vd))
             if poses is not None and Ks is not None and i < len(poses):
                 j2 = tp.project_points(out["joints_warped"],
                                        jnp.asarray(poses[i]),

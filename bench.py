@@ -72,10 +72,14 @@ def main():
     rng = np.random.default_rng(1)
 
     @jax.jit
-    def render_chunk(ro, rd, vd, rot):
+    def prep_frame(rot):
+        return tp.prepare_frame(params, mcfg, state, rot_params=rot)
+
+    @jax.jit
+    def render_chunk(frame, ro, rd, vd):
         res = tp.forward(params, mcfg, state, ro, rd, vd, t=None,
-                         rot_params=rot, near=0.5, far=6.0, bg=1.0,
-                         render_depth=True)
+                         rot_params=None, near=0.5, far=6.0, bg=1.0,
+                         render_depth=True, frame=frame)
         return res["rgb_marched"], res["depth"]
 
     # camera at +z looking at origin
@@ -93,13 +97,16 @@ def main():
     chunks = dirs.reshape(-1, CHUNK, 3)
 
     def run_once():
+        frame = prep_frame(rot)
         outs = []
         for c in chunks:
             rd = jnp.asarray(c)
             ro = jnp.broadcast_to(jnp.asarray(o), rd.shape)
             vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-            outs.append(render_chunk(ro, rd, vd, rot))
-        jax.block_until_ready(outs[-1])
+            outs.append(render_chunk(frame, ro, rd, vd))
+        # block_until_ready does not synchronise on this backend (PERF.md);
+        # force a host readback of the last chunk
+        _ = np.asarray(outs[-1][0][0])
         return outs
 
     run_once()  # compile + warm caches
