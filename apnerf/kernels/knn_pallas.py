@@ -23,7 +23,7 @@ QB = 256      # queries per block
 PT = 2048     # points per tile
 
 
-def _knn_kernel(k: int, q_ref, p_ref, od_ref, oi_ref):
+def _knn_kernel(k: int, radius2: float, q_ref, p_ref, od_ref, oi_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -45,6 +45,11 @@ def _knn_kernel(k: int, q_ref, p_ref, od_ref, oi_ref):
     gap = jnp.maximum(jnp.maximum(q_lo - p_hi, p_lo - q_hi), 0.0)
     lb2 = jnp.sum(gap * gap)
     worst = jnp.max(od_ref[:, k - 1])
+    if radius2 is not None:
+        # exact when the consumer discards neighbours beyond radius2: a
+        # tile with bbox gap >= radius2 can only contribute neighbours the
+        # caller rejects (see aggregate_pts' nn_ok cutoff)
+        worst = jnp.minimum(worst, radius2)
 
     @pl.when((j == 0) | (lb2 < worst))
     def _():
@@ -73,10 +78,12 @@ def _knn_kernel(k: int, q_ref, p_ref, od_ref, oi_ref):
         oi_ref[:] = jnp.stack(best_i, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def knn_pallas(queries, points, k: int = 8):
+@partial(jax.jit, static_argnames=("k", "radius2"))
+def knn_pallas(queries, points, k: int = 8, radius2=None):
     """Exact k-NN: (d2 [M, k] ascending, idx [M, k]).
 
+    ``radius2``: optional squared-distance bound — neighbours beyond it may
+    be reported as missing (inf); exact for consumers that reject them.
     Inputs are padded to block multiples; pad points get distance ~1e20 and
     never win.
     """
@@ -93,7 +100,7 @@ def knn_pallas(queries, points, k: int = 8):
     n_pt = (P + ppad) // PT
 
     d2, idx = pl.pallas_call(
-        partial(_knn_kernel, k),
+        partial(_knn_kernel, k, radius2),
         grid=(n_qb, n_pt),
         in_specs=[
             pl.BlockSpec((QB, 3), lambda i, j: (i, 0),
@@ -133,12 +140,12 @@ def _morton_codes(points):
             | (spread(g[:, 2]) << 2))
 
 
-@partial(jax.jit, static_argnames=("k",))
-def knn_pallas_sorted(queries, points, k: int = 8):
+@partial(jax.jit, static_argnames=("k", "radius2"))
+def knn_pallas_sorted(queries, points, k: int = 8, radius2=None):
     """knn_pallas over Morton-sorted points: spatially compact point tiles
     make the kernel's bbox pruning effective (most tiles skip)."""
     perm = jnp.argsort(_morton_codes(points))
-    d2, si = knn_pallas(queries, points[perm], k=k)
+    d2, si = knn_pallas(queries, points[perm], k=k, radius2=radius2)
     return d2, perm[si]
 
 

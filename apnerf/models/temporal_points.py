@@ -328,7 +328,8 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     q = q_pad[src]                                       # [M_act, 3]
 
     d2, idx = knn(jax.lax.stop_gradient(q),
-                  jax.lax.stop_gradient(t_hat_pcd), k=K)
+                  jax.lax.stop_gradient(t_hat_pcd), k=K,
+                  radius2=float(query_radius))
     # radius cutoff on the kth neighbour (squared-distance semantics of the
     # reference, lib/temporalpoints.py:440)
     nn_ok = (d2[:, -1] <= query_radius) & act_ok

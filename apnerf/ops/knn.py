@@ -62,8 +62,9 @@ def _knn_block(queries, pts_tiles, k: int, tile: int):
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "q_tile"))
-def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384):
+@partial(jax.jit, static_argnames=("k", "tile", "q_tile", "radius2"))
+def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
+        radius2=None):
     """K nearest points for each query, tiled over both operands.
 
     On TPU this dispatches to the fused Pallas kernel
@@ -81,7 +82,7 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384):
     """
     if _tpu_default() and k <= 16:
         from ..kernels.knn_pallas import knn_pallas_sorted
-        return knn_pallas_sorted(queries, points, k=k)
+        return knn_pallas_sorted(queries, points, k=k, radius2=radius2)
     queries = queries.astype(jnp.float32)
     points, Ppad = _pad_points(points.astype(jnp.float32), tile)
     pts_tiles = points.reshape(Ppad // tile, tile, 3)
