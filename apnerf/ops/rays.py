@@ -129,6 +129,23 @@ def sample_pts_on_rays(rays_o, rays_d, xyz_min, xyz_max, near, far, stepdist,
                       n_steps=n_steps)
 
 
+def sample_ndc_pts_on_rays(rays_o, rays_d, xyz_min, xyz_max, n_samples: int):
+    """Fixed-count equidistant NDC sampling (reference
+    ``sample_ndc_pts_on_rays``, render_utils_kernel.cu:238-287; unused by
+    every shipped config — ndc=False throughout — kept for parity)."""
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[None, :, None]
+    xyz_min = jnp.asarray(xyz_min, jnp.float32)
+    xyz_max = jnp.asarray(xyz_max, jnp.float32)
+    in_bbox = jnp.all((pts >= xyz_min) & (pts <= xyz_max), axis=-1)
+    step_id = jnp.broadcast_to(
+        jnp.arange(n_samples, dtype=jnp.int32)[None, :], in_bbox.shape)
+    return RaySamples(pts=pts, valid=in_bbox, step_id=step_id,
+                      t_min=jnp.zeros(rays_o.shape[0]),
+                      n_steps=jnp.full(rays_o.shape[0], n_samples,
+                                       jnp.int32))
+
+
 def rays_hit_bbox(rays_o, rays_d, xyz_min, xyz_max, near, far):
     """Reference ``TiNeuVox.get_mask`` (lib/tineuvox.py:422-433): does any
     sample of the ray fall inside the scene bbox?"""
