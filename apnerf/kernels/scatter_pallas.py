@@ -40,28 +40,48 @@ def _accum_kernel(offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr, upd_scr,
     c0 = start // B_ROWS
     c1 = (end + B_ROWS - 1) // B_ROWS
 
+    def dma_pair(i, slot):
+        return (
+            pltpu.make_async_copy(
+                idx_hbm.at[pl.ds(i * (B_ROWS // SUB), B_ROWS // SUB), :],
+                idx_scr.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                updt_hbm.at[:, pl.ds(i * B_ROWS, B_ROWS)],
+                upd_scr.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(c0 < c1)
+    def _():
+        a, b = dma_pair(c0, 0)
+        a.start()
+        b.start()
+
     def chunk(i, _):
+        slot = jax.lax.rem(i - c0, 2)
+        next_slot = jax.lax.rem(i - c0 + 1, 2)
+
+        @pl.when(i + 1 < c1)
+        def _():
+            a, b = dma_pair(i + 1, next_slot)
+            a.start()
+            b.start()
+
+        a, b = dma_pair(i, slot)
+        a.wait()
+        b.wait()
         r0 = i * B_ROWS
-        cp_i = pltpu.make_async_copy(
-            idx_hbm.at[pl.ds(i * (B_ROWS // SUB), B_ROWS // SUB), :],
-            idx_scr, sems.at[0])
-        cp_u = pltpu.make_async_copy(
-            updt_hbm.at[:, pl.ds(r0, B_ROWS)], upd_scr, sems.at[1])
-        cp_i.start()
-        cp_u.start()
-        cp_i.wait()
-        cp_u.wait()
         acc = jnp.zeros((C_PAD, W_CELLS), jnp.float32)
         for s in range(B_ROWS // SUB):
             rows = (r0 + s * SUB
                     + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)[:, 0])
             ok = (rows >= start) & (rows < end)
-            col = idx_scr[s, :] - base
+            col = idx_scr[slot, s, :] - base
             onehot = ((jax.lax.broadcasted_iota(jnp.int32, (SUB, W_CELLS), 1)
                        == col[:, None]) & ok[:, None])
             # exact: 0/1 rhs-free matmul, fp32 accumulation on the MXU
             acc = acc + jax.lax.dot_general(
-                upd_scr[:, s * SUB:(s + 1) * SUB], onehot.astype(jnp.float32),
+                upd_scr[slot, :, s * SUB:(s + 1) * SUB],
+                onehot.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -102,9 +122,9 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
         out_specs=pl.BlockSpec((C_PAD, W_CELLS), lambda w, offs: (0, w),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((B_ROWS // SUB, SUB), jnp.int32),
-            pltpu.VMEM((C_PAD, B_ROWS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, B_ROWS // SUB, SUB), jnp.int32),
+            pltpu.VMEM((2, C_PAD, B_ROWS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out_t = pl.pallas_call(
