@@ -140,12 +140,21 @@ def _morton_codes(points):
             | (spread(g[:, 2]) << 2))
 
 
-@partial(jax.jit, static_argnames=("k", "radius2"))
-def knn_pallas_sorted(queries, points, k: int = 8, radius2=None):
-    """knn_pallas over Morton-sorted points: spatially compact point tiles
-    make the kernel's bbox pruning effective (most tiles skip)."""
+@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))
+def knn_pallas_sorted(queries, points, k: int = 8, radius2=None,
+                      sort_queries: bool = True):
+    """knn_pallas over Morton-sorted points (and optionally queries):
+    spatially compact blocks on both sides make the kernel's bbox pruning
+    effective."""
     perm = jnp.argsort(_morton_codes(points))
-    d2, si = knn_pallas(queries, points[perm], k=k, radius2=radius2)
+    pts = points[perm]
+    if sort_queries:
+        qperm = jnp.argsort(_morton_codes(queries))
+        d2s, sis = knn_pallas(queries[qperm], pts, k=k, radius2=radius2)
+        inv = jnp.argsort(qperm)
+        d2, si = d2s[inv], sis[inv]
+    else:
+        d2, si = knn_pallas(queries, pts, k=k, radius2=radius2)
     return d2, perm[si]
 
 
