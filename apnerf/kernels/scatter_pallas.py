@@ -26,11 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 W_CELLS = 1024    # output cells per window
 B_ROWS = 512      # update rows per DMA block
 SUB = 128         # lane width; B_ROWS // SUB sub-blocks per DMA block
-C_PAD = 16        # padded channel count (sublane multiple)
 
 
-def _accum_kernel(offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr, upd_scr,
-                  sems):
+def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
+                  upd_scr, sems):
     w = pl.program_id(0)
     start = offs_ref[w]
     end = offs_ref[w + 1]
@@ -97,7 +96,7 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     indices ``idx_sorted [M]`` (ascending, in [0, n_rows))."""
     M = idx_sorted.shape[0]
     C = upd_sorted.shape[1]
-    assert C <= C_PAD
+    C_PAD = max(16, ((C + 7) // 8) * 8)
     n_win = (n_rows + W_CELLS - 1) // W_CELLS
     rows_pad = n_win * W_CELLS
 
@@ -128,7 +127,7 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
         ],
     )
     out_t = pl.pallas_call(
-        _accum_kernel,
+        functools.partial(_accum_kernel, C_PAD),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C_PAD, rows_pad), jnp.float32),
     )(offsets, idx_blocks, updt)

@@ -12,6 +12,7 @@ for feeding the 128-lane MLPs downstream).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -31,77 +32,115 @@ def grid_interp(grid, xyz, xyz_min, xyz_max):
     return _interp_at_indices(grid, u)
 
 
-@jax.custom_vjp
-def _corner_gather(grid_flat, lin, w):
-    """sum_k grid_flat[lin[:, k]] * w[:, k, None] -> [M, C].
+def _corner_tables(dims, i0, frac):
+    """Per-corner (lin index, weight, per-axis weight partials) tables.
 
-    Custom VJP: the gradient w.r.t. the grid is a scatter-add of M*8 rows —
-    routed through the Pallas sorted-window-accumulation kernel on TPU
-    (kernels/scatter_pallas.py) instead of XLA's slow generic scatter.
+    Corner order k = dx*4 + dy*2 + dz. ``wp[a]`` is dw/dfrac_a (the signed
+    product of the other two axes' weights, zeroed out of bounds).
     """
-    out = 0.0
-    for k in range(lin.shape[1]):
-        out = out + grid_flat[lin[:, k]] * w[:, k, None]
-    return out
-
-
-def _corner_gather_fwd(grid_flat, lin, w):
-    return _corner_gather(grid_flat, lin, w), (grid_flat, lin, w)
-
-
-def _corner_gather_bwd(res, g):
-    grid_flat, lin, w = res
-    K = lin.shape[1]
-    C = grid_flat.shape[1]
-    # d/dgrid: scatter-add of per-corner weighted cotangents
-    upd = jnp.concatenate([g * w[:, k, None] for k in range(K)], axis=0)
-    idx = lin.T.reshape(-1)
-    from .knn import _tpu_default
-    if _tpu_default() and C <= 16:
-        from ..kernels.scatter_pallas import scatter_add_rows
-        dgrid = scatter_add_rows(idx, upd, grid_flat.shape[0])
-    else:
-        dgrid = jnp.zeros_like(grid_flat).at[idx].add(
-            upd.astype(grid_flat.dtype))
-    # d/dw: per-corner inner products
-    dw = jnp.stack(
-        [(grid_flat[lin[:, k]] * g).sum(-1) for k in range(K)], axis=1)
-    return dgrid.astype(grid_flat.dtype), None, dw
-
-
-_corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)
-
-
-def _interp_at_indices(grid, u):
-    """Trilinear interp at fractional voxel indices ``u [..., 3]``."""
-    sx, sy, sz, _ = grid.shape
-    lead = u.shape[:-1]
-    u = u.reshape(-1, 3)
-    i0 = jnp.floor(u).astype(jnp.int32)
-    frac = u - i0
+    sx, sy, sz = dims
     i1 = i0 + 1
 
     def inb(i, size):
         return (i >= 0) & (i < size)
 
-    grid_flat = grid.reshape(-1, grid.shape[-1])
-    lins, ws = [], []
+    lins, ws, wpx, wpy, wpz = [], [], [], [], []
     for dx in (0, 1):
         ix = i1[:, 0] if dx else i0[:, 0]
         wx = frac[:, 0] if dx else 1.0 - frac[:, 0]
+        gx = 1.0 if dx else -1.0
         for dy in (0, 1):
             iy = i1[:, 1] if dy else i0[:, 1]
             wy = frac[:, 1] if dy else 1.0 - frac[:, 1]
+            gy = 1.0 if dy else -1.0
             for dz in (0, 1):
                 iz = i1[:, 2] if dz else i0[:, 2]
                 wz = frac[:, 2] if dz else 1.0 - frac[:, 2]
-                ok = inb(ix, sx) & inb(iy, sy) & inb(iz, sz)
+                gz = 1.0 if dz else -1.0
+                ok = (inb(ix, sx) & inb(iy, sy) & inb(iz, sz)).astype(
+                    jnp.float32)
                 lin = (jnp.clip(ix, 0, sx - 1) * sy
                        + jnp.clip(iy, 0, sy - 1)) * sz + jnp.clip(iz, 0, sz - 1)
                 lins.append(lin)
-                ws.append((wx * wy * wz) * ok.astype(grid.dtype))
-    out = _corner_gather(grid_flat.astype(jnp.float32),
-                         jnp.stack(lins, 1), jnp.stack(ws, 1))
+                ws.append(wx * wy * wz * ok)
+                wpx.append(gx * wy * wz * ok)
+                wpy.append(wx * gy * wz * ok)
+                wpz.append(wx * wy * gz * ok)
+    return (jnp.stack(lins, 1), jnp.stack(ws, 1),
+            (jnp.stack(wpx, 1), jnp.stack(wpy, 1), jnp.stack(wpz, 1)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trilerp(dims, grid_flat, u):
+    """Fused trilinear interp: out[m] = sum_k grid_flat[lin_k(u_m)] w_k(u_m).
+
+    Custom VJP: d/dgrid avoids both the XLA scatter floor and the 8x corner
+    argsort — contributions are binned by *base cell* with ONE sort of M keys
+    (valid because every corner index is base + a constant offset), windowed
+    into an extended [sx+1, sy+1, sz+1] accumulator holding all 8 corner
+    channels, then reduced by 8 dense shifted slices. Replaces the
+    ``F.grid_sample`` backward of the reference (lib/tineuvox.py:379-419).
+    """
+    lins, ws, _ = _corner_tables(dims, jnp.floor(u).astype(jnp.int32),
+                                 u - jnp.floor(u))
+    out = 0.0
+    for k in range(8):
+        out = out + grid_flat[lins[:, k]] * ws[:, k, None]
+    return out
+
+
+def _trilerp_fwd(dims, grid_flat, u):
+    return _trilerp(dims, grid_flat, u), (grid_flat, u)
+
+
+def _trilerp_bwd(dims, res, g):
+    grid_flat, u = res
+    sx, sy, sz = dims
+    C = grid_flat.shape[1]
+    M = u.shape[0]
+    i0 = jnp.floor(u).astype(jnp.int32)
+    lins, ws, wps = _corner_tables(dims, i0, u - i0)
+
+    # d/du: sum_k dw_k/dfrac_a * (grid[lin_k] . g)  (frac grad == u grad)
+    dots = jnp.stack([(grid_flat[lins[:, k]] * g).sum(-1) for k in range(8)],
+                     axis=1)                                     # [M, 8]
+    du = jnp.stack([(wp * dots).sum(1) for wp in wps], axis=1)   # [M, 3]
+
+    # d/dgrid: base-cell binned accumulation
+    upd = (g[:, None, :] * ws[:, :, None]).reshape(M, 8 * C)
+    from .knn import _tpu_default
+    if _tpu_default():
+        from ..kernels.scatter_pallas import sorted_window_accumulate
+        ex, ey, ez = sx + 1, sy + 1, sz + 1
+        bx = jnp.clip(i0[:, 0] + 1, 0, sx)   # all-clipped rows have w == 0
+        by = jnp.clip(i0[:, 1] + 1, 0, sy)
+        bz = jnp.clip(i0[:, 2] + 1, 0, sz)
+        lin_ext = (bx * ey + by) * ez + bz
+        order = jnp.argsort(lin_ext)
+        acc = sorted_window_accumulate(lin_ext[order], upd[order],
+                                       ex * ey * ez)
+        acc = acc.reshape(ex, ey, ez, 8, C)
+        dgrid = 0.0
+        for k, (dx, dy, dz) in enumerate(
+                [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]):
+            dgrid = dgrid + jax.lax.slice(
+                acc, (1 - dx, 1 - dy, 1 - dz, k, 0),
+                (1 - dx + sx, 1 - dy + sy, 1 - dz + sz, k + 1, C))[..., 0, :]
+        dgrid = dgrid.reshape(-1, C)
+    else:
+        dgrid = jnp.zeros_like(grid_flat).at[lins.T.reshape(-1)].add(
+            upd.reshape(M, 8, C).transpose(1, 0, 2).reshape(-1, C))
+    return dgrid.astype(grid_flat.dtype), du
+
+
+_trilerp.defvjp(_trilerp_fwd, _trilerp_bwd)
+
+
+def _interp_at_indices(grid, u):
+    """Trilinear interp at fractional voxel indices ``u [..., 3]``."""
+    lead = u.shape[:-1]
+    out = _trilerp(grid.shape[:3], grid.reshape(-1, grid.shape[-1]).astype(
+        jnp.float32), u.reshape(-1, 3))
     return out.reshape(*lead, grid.shape[-1])
 
 
