@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: radius-bounded K-nearest-neighbour via candidate tiles.
+
+The stage-2 hot op (SURVEY.md §7.2; reference pykeops ``Kmin_argKmin`` at
+lib/temporalpoints.py:432-437) has a radius cutoff downstream: the consumer
+rejects any sample whose kth neighbour lies beyond ``sqrt(radius2)``
+(lib/temporalpoints.py:440). That bound makes a spatial prefilter *exact*:
+a point tile whose bounding box is further than ``radius`` from a query
+block's bounding box cannot contribute a neighbour the caller keeps.
+
+Design (vs the brute-force kernel in knn_pallas.py):
+  * points Morton-sorted into spatially compact tiles of ``PTS`` and kept
+    **entirely VMEM-resident** as ``[T, 3, PTS]`` (~0.2 MB for 10^4 points);
+  * queries Morton-sorted (normalised by the *point* bbox so padded queries
+    can't wreck the code scale); XLA precomputes each query block's
+    candidate-tile list from bbox gaps (~25% of tiles survive on real
+    workloads), shipped as a per-block metadata row;
+  * the kernel consumes candidates in rounds of ``RT`` tiles. Selection
+    uses **packed int32 keys** (d2 high bits | lane) and a *write-free*
+    ascending-min extraction: with unique keys, the (j+1)th best is
+    ``min(key > mj)`` — one compare + select + min per extraction, no
+    argmin, no scatter, no buffer mutation. The winner's buffer lane comes
+    from the key's low bits; its point index from the round's tile ids.
+  * selection is exact up to ties within 2^-11 relative distance (12 key
+    bits carry the lane); returned distances are the quantized key values
+    (ascending), sufficient for the kth-neighbour radius threshold.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QB = 256          # queries per block
+PTS = 128         # points per tile
+RT = 24           # tiles per selection round (most blocks need one round)
+CW = RT * PTS     # candidate lanes per round
+BW = CW + 128     # + carried-best area (aligned to 128 lanes)
+LMASK = 0xFFF     # 12 lane bits (BW <= 4096)
+SENT = 0x7F000000  # sentinel key high bits (huge positive float pattern)
+
+
+def _kernel(k: int, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf):
+    q = q_ref[:]                                    # [QB, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    n = meta_ref[0, 0, 0]                           # candidate count
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (QB, BW), 1)
+    sent_buf = SENT | lane_iota                     # unique per lane
+    tail = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+
+    def round_body(r, carry):
+        bkey, bidx = carry                          # [QB, k] int32 each
+        tids = []
+        for s in range(RT):
+            i = r * RT + s
+            tid = meta_ref[0, (i + 1) >> 7, (i + 1) & 127]
+            tids.append(tid)
+
+            @pl.when(i < n)
+            def _():
+                p = p_ref[tid]                      # [3, PTS]
+                dx = qx - p[0:1, :]
+                dy = qy - p[1:2, :]
+                dz = qz - p[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz    # [QB, PTS]
+                loc = jax.lax.broadcasted_iota(jnp.int32, (QB, PTS), 1)
+                kbuf[:, s * PTS:(s + 1) * PTS] = (
+                    (pltpu.bitcast(d2, jnp.int32) & ~LMASK)
+                    | (s * PTS + loc))
+
+            @pl.when(i >= n)
+            def _():
+                kbuf[:, s * PTS:(s + 1) * PTS] = (
+                    SENT | (s * PTS
+                            + jax.lax.broadcasted_iota(jnp.int32, (QB, PTS),
+                                                       1)))
+
+        # carried best-k re-packed into the aligned tail area
+        ins = jnp.full((QB, 128), SENT, jnp.int32)
+        for j in range(k):
+            ins = jnp.where(tail == j, bkey[:, j:j + 1] & ~LMASK, ins)
+        kbuf[:, CW:] = ins | (CW + tail)
+
+        # write-free ascending extraction over unique keys
+        buf = kbuf[:, :]
+        nk, ni = [], []
+        m = jnp.full((QB,), -0x80000000, jnp.int32)
+        for j in range(k):
+            m = jnp.min(jnp.where(buf > m[:, None], buf, 0x7FFFFFFF), axis=1)
+            lane = m & LMASK
+            sub = lane >> 7                          # PTS == 128
+            loc = lane & (PTS - 1)
+            tid_w = jnp.zeros_like(lane)
+            for s in range(RT):
+                tid_w = tid_w + jnp.where(sub == s, tids[s], 0)
+            g_round = tid_w * PTS + loc
+            g_carry = jnp.zeros_like(lane)
+            for s in range(k):
+                g_carry = g_carry + jnp.where(lane == CW + s, bidx[:, s], 0)
+            nk.append(m)
+            ni.append(jnp.where(lane < CW, g_round, g_carry))
+        return jnp.stack(nk, axis=1), jnp.stack(ni, axis=1)
+
+    n_rounds = (n + RT - 1) // RT
+    bkey0 = SENT | (CW + jax.lax.broadcasted_iota(jnp.int32, (QB, k), 1))
+    bidx0 = jnp.zeros((QB, k), jnp.int32)
+    bkey, bidx = jax.lax.fori_loop(0, n_rounds, round_body, (bkey0, bidx0))
+    ok_ref[:] = bkey
+    oi_ref[:] = bidx
+
+
+@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))
+def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
+                      sort_queries: bool = True):
+    """Radius-bounded k-NN: (d2 [M, k] ascending, idx [M, k]).
+
+    Every neighbour with d2 < radius2 is found (up to 2^-11-relative
+    selection ties); neighbours beyond radius2 may be reported as missing
+    (d2 ~ 3e38, idx arbitrary). Exact for consumers that reject samples
+    whose kth neighbour exceeds the radius (aggregate_pts' ``nn_ok`` cutoff
+    == reference lib/temporalpoints.py:440). Returned d2 are the ascending
+    selection keys: exact distances truncated to 11 mantissa bits.
+
+    ``sort_queries=False`` skips the internal Morton sort + unsort of the
+    queries — use when the caller already ordered them spatially (e.g.
+    aggregate_pts' Morton-ordered compaction), saving two M-sized argsorts.
+    """
+    assert k <= 16
+    M = queries.shape[0]
+    P = points.shape[0]
+    qf = queries.astype(jnp.float32)
+    pf = points.astype(jnp.float32)
+
+    # ---- points: Morton sort, pad, tile -------------------------------
+    from ..ops.knn import morton_codes
+    p_lo = pf.min(0)
+    p_hi = pf.max(0)
+    perm = jnp.argsort(morton_codes(pf, p_lo, p_hi))
+    pts = pf[perm]
+    ppad = (-P) % PTS
+    if ppad:
+        pts = jnp.concatenate(
+            [pts, jnp.full((ppad, 3), 1e9, jnp.float32)], axis=0)
+    T = (P + ppad) // PTS
+    assert T < 1023, "point set too large for the metadata row"
+    tiles = pts.reshape(T, PTS, 3)
+    t_lo = tiles.min(1)                             # [T, 3]
+    t_hi = tiles.max(1)                             # pad rows only loosen lb
+    pts_t = jnp.transpose(tiles, (0, 2, 1))         # [T, 3, PTS]
+
+    # ---- queries: Morton sort (point-bbox normalised), pad, block bbox
+    if sort_queries:
+        qperm = jnp.argsort(morton_codes(qf, p_lo, p_hi))
+        q = qf[qperm]
+    else:
+        q = qf
+    mpad = (-M) % QB
+    q = jnp.pad(q, ((0, mpad), (0, 0)), constant_values=2e9)
+    NB = (M + mpad) // QB
+    qb = q.reshape(NB, QB, 3)
+    q_lo = qb.min(1)
+    q_hi = qb.max(1)
+
+    # ---- candidate tiles per block (exact under the radius bound) -----
+    gap = jnp.maximum(jnp.maximum(q_lo[:, None, :] - t_hi[None],
+                                  t_lo[None] - q_hi[:, None, :]), 0.0)
+    cand = (gap * gap).sum(-1) < radius2            # [NB, T]
+    order = jnp.argsort(~cand, axis=1, stable=True).astype(jnp.int32)
+    cnt = cand.sum(1).astype(jnp.int32)
+    # metadata row per block: slot 0 = count, slots 1..T = candidate tiles
+    meta = jnp.concatenate([cnt[:, None], order], axis=1)
+    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NB, 8, 128)
+
+    out = pl.pallas_call(
+        partial(_kernel, k),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((QB, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 3, PTS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((QB, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QB, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
+            jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((QB, BW), jnp.int32)],
+    )(meta, q, pts_t)
+
+    # unpack ascending quantized distances from the keys (the consumer only
+    # thresholds the kth distance; the 2^-11-relative truncation is the
+    # documented tie tolerance). Sentinel keys unpack to ~3e38 (rejected).
+    okey, oi = out
+    d2 = jax.lax.bitcast_convert_type(okey[:M] & ~LMASK, jnp.float32)
+    oi = oi[:M]
+    idx = jnp.concatenate([perm, jnp.zeros(ppad, perm.dtype)])[oi]
+    d2 = jnp.maximum(d2, 0.0)
+
+    if sort_queries:
+        inv = jnp.argsort(qperm)
+        return d2[inv], idx[inv]
+    return d2, idx

@@ -123,21 +123,8 @@ def knn_pallas(queries, points, k: int = 8, radius2=None):
 
 
 def _morton_codes(points):
-    """30-bit Morton codes (10 bits/axis) for spatial ordering."""
-    lo = points.min(0)
-    hi = points.max(0)
-    u = jnp.clip((points - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    g = jnp.minimum((u * 1024.0).astype(jnp.uint32), 1023)
-
-    def spread(x):
-        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
-        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
-        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
-        x = (x | (x << 2)) & jnp.uint32(0x09249249)
-        return x
-
-    return (spread(g[:, 0]) | (spread(g[:, 1]) << 1)
-            | (spread(g[:, 2]) << 2))
+    from ..ops.knn import morton_codes
+    return morton_codes(points)
 
 
 @partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))

@@ -327,9 +327,21 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     q_pad = jnp.concatenate([q_full, jnp.full((1, 3), 1e9)], 0)
     q = q_pad[src]                                       # [M_act, 3]
 
+    # Morton-order the active slots so the KNN kernel's query blocks are
+    # spatially compact WITHOUT a per-call sort+unsort inside the kernel:
+    # everything downstream indexes through ``src``, so permuting
+    # (q, src, act_ok) together is semantics-free. Empty slots (q = 1e9)
+    # clip to the max code and land at the tail.
+    from ..ops.knn import _tpu_default, morton_codes
+    if _tpu_default():
+        mperm = jnp.argsort(morton_codes(q, bb_min, bb_max))
+        q = q[mperm]
+        src = src[mperm]
+        act_ok = act_ok[mperm]
+
     d2, idx = knn(jax.lax.stop_gradient(q),
                   jax.lax.stop_gradient(t_hat_pcd), k=K,
-                  radius2=float(query_radius))
+                  radius2=float(query_radius), assume_sorted=True)
     # radius cutoff on the kth neighbour (squared-distance semantics of the
     # reference, lib/temporalpoints.py:440)
     nn_ok = (d2[:, -1] <= query_radius) & act_ok

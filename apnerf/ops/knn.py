@@ -23,6 +23,30 @@ def _tpu_default() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def morton_codes(points, lo=None, hi=None):
+    """30-bit Morton codes (10 bits/axis) for spatial ordering.
+
+    ``lo``/``hi`` fix the normalisation box (so e.g. padded or sentinel
+    rows can't wreck the code scale); default is the point bbox.
+    """
+    if lo is None:
+        lo = points.min(0)
+    if hi is None:
+        hi = points.max(0)
+    u = jnp.clip((points - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    g = jnp.minimum((u * 1024.0).astype(jnp.uint32), 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(g[:, 0]) | (spread(g[:, 1]) << 1)
+            | (spread(g[:, 2]) << 2))
+
+
 def _pad_points(points, tile):
     P = points.shape[0]
     pad = (-P) % tile
@@ -62,9 +86,10 @@ def _knn_block(queries, pts_tiles, k: int, tile: int):
     return best_d, best_i
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "q_tile", "radius2"))
+@partial(jax.jit, static_argnames=("k", "tile", "q_tile", "radius2",
+                                   "assume_sorted"))
 def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
-        radius2=None):
+        radius2=None, assume_sorted: bool = False):
     """K nearest points for each query, tiled over both operands.
 
     On TPU this dispatches to the fused Pallas kernel
@@ -76,13 +101,22 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
         only a [q_tile, tile] distance block is ever live).
       points:  [P, 3] float32, streamed in ``tile``-sized chunks.
       k: number of neighbours.
+      assume_sorted: perf hint — the caller already ordered queries
+        spatially (Morton), so the TPU kernels skip their internal query
+        sort + unsort (the hoisting saves two M-sized argsorts per call).
 
     Returns:
       (d2 [M, k], idx [M, k]) — squared distances (ascending) and indices.
     """
     if _tpu_default() and k <= 16:
+        if radius2 is not None:
+            from ..kernels.knn_cells_pallas import knn_radius_pallas
+            return knn_radius_pallas(queries, points, k=k,
+                                     radius2=float(radius2),
+                                     sort_queries=not assume_sorted)
         from ..kernels.knn_pallas import knn_pallas_sorted
-        return knn_pallas_sorted(queries, points, k=k, radius2=radius2)
+        return knn_pallas_sorted(queries, points, k=k, radius2=radius2,
+                                 sort_queries=not assume_sorted)
     queries = queries.astype(jnp.float32)
     points, Ppad = _pad_points(points.astype(jnp.float32), tile)
     pts_tiles = points.reshape(Ppad // tile, tile, 3)

@@ -43,6 +43,80 @@ def test_knn_pallas_radius_bound_consistent():
                                np.asarray(d_full)[ok_full], rtol=1e-5)
 
 
+def test_knn_radius_kernel_matches_bruteforce():
+    import jax.numpy as jnp
+    from apnerf.kernels.knn_cells_pallas import knn_radius_pallas
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(5000, 3)).astype(np.float32)
+    # queries biased near the cloud so plenty pass the radius cutoff
+    q = (p[rng.integers(0, 5000, 4096)]
+         + rng.normal(size=(4096, 3)).astype(np.float32) * 0.1)
+    r2 = 0.05
+    d2, idx = knn_radius_pallas(jnp.asarray(q), jnp.asarray(p), k=8,
+                                radius2=r2)
+    d2 = np.asarray(d2)
+    idx = np.asarray(idx)
+    full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
+    ref_d = np.sort(full, 1)[:, :8]
+    ok_ref = ref_d[:, -1] <= r2
+    ok_got = d2[:, -1] <= r2
+    assert ok_ref.mean() > 0.3          # the workload exercises the cutoff
+    # rows passing the cutoff agree (up to 2^-12-relative selection ties)
+    np.testing.assert_array_equal(ok_ref, ok_got)
+    np.testing.assert_allclose(d2[ok_ref], ref_d[ok_ref], rtol=6e-4,
+                               atol=1e-6)
+    got = np.take_along_axis(full, idx, axis=1)
+    np.testing.assert_allclose(np.sort(got, 1)[ok_ref], ref_d[ok_ref],
+                               rtol=6e-4, atol=1e-6)
+
+
+def test_trilerp_grid_gradient_matches_xla_scatter():
+    import jax
+    import jax.numpy as jnp
+    from apnerf.ops.grid import grid_interp
+    rng = np.random.default_rng(4)
+    S, C, M = 48, 12, 200_000
+    grid = rng.standard_normal((S, S, S, C)).astype(np.float32)
+    xyz = rng.uniform(-1.1, 1.1, (M, 3)).astype(np.float32)
+    lo = jnp.asarray([-1.0, -1.0, -1.0])
+    hi = jnp.asarray([1.0, 1.0, 1.0])
+
+    def loss(g, pts):
+        out = grid_interp(g, pts, lo, hi)
+        return (out * jnp.sin(out)).sum()
+
+    dg, dx = jax.grad(loss, argnums=(0, 1))(jnp.asarray(grid),
+                                            jnp.asarray(xyz))
+    # reference: plain autodiff through an XLA gather formulation
+    def interp_ref(g, pts):
+        shape = jnp.asarray(g.shape[:3], jnp.float32)
+        u = (pts - lo) / (hi - lo) * (shape - 1.0)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        f = u - i0
+        out = 0.0
+        for dxc in (0, 1):
+            for dyc in (0, 1):
+                for dzc in (0, 1):
+                    ii = i0 + jnp.asarray([dxc, dyc, dzc])
+                    ok = jnp.all((ii >= 0) & (ii < g.shape[0]), -1)
+                    ii = jnp.clip(ii, 0, g.shape[0] - 1)
+                    w = (jnp.where(dxc, f[:, 0], 1 - f[:, 0])
+                         * jnp.where(dyc, f[:, 1], 1 - f[:, 1])
+                         * jnp.where(dzc, f[:, 2], 1 - f[:, 2]) * ok)
+                    out = out + g[ii[:, 0], ii[:, 1], ii[:, 2]] * w[:, None]
+        return out
+
+    def loss_ref(g, pts):
+        out = interp_ref(g, pts)
+        return (out * jnp.sin(out)).sum()
+
+    rg, rx = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(grid),
+                                                jnp.asarray(xyz))
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(rg), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx), rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_scatter_kernel_matches_numpy():
     import jax.numpy as jnp
     from apnerf.kernels.scatter_pallas import scatter_add_rows
