@@ -54,14 +54,18 @@ _LPIPS_CACHE = {}
 
 
 def rgb_lpips(gt, im, net_name="alex"):
-    """LPIPS perceptual distance (torch cpu; eval-only)."""
+    """LPIPS perceptual distance (reference lib/utils.py:577-589).
+
+    Uses the torch ``lpips`` package when importable (bit-parity with the
+    reference); otherwise the self-contained JAX implementation
+    (render/lpips_jax.py) with official weights from
+    ``APNERF_LPIPS_WEIGHTS`` or a documented seeded-random fallback."""
     try:
         import torch
         import lpips as lpips_pkg
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "lpips requires the torch `lpips` package; it is eval-only and "
-            "not installed in this environment") from e
+    except ImportError:
+        from . import lpips_jax
+        return lpips_jax.lpips(gt, im, net_name=net_name)
     if net_name not in _LPIPS_CACHE:
         _LPIPS_CACHE[net_name] = lpips_pkg.LPIPS(net=net_name,
                                                  version="0.1").eval()

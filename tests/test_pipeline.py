@@ -28,6 +28,7 @@ def tiny_setup(tmp_path_factory):
     return cfg, data
 
 
+@pytest.mark.slow
 def test_full_pipeline(tiny_setup, tmp_path):
     from apnerf.train import stage1, stage2
     from apnerf.train.export import export_point_cloud
