@@ -4,13 +4,15 @@ XLA's scatter runs at ~118M updates/s on TPU regardless of index order
 (PERF.md) — far below what the voxel-grid gradient needs. This kernel
 replaces it for the *sorted* case: contributions are pre-sorted by target
 row; the kernel walks contiguous windows of the output, streams the
-window's update rows through VMEM via manual DMA (in globally aligned
-1024-row blocks), and accumulates with one-hot MXU matmuls (exact: one-hot
-entries are 0/1).
+window's update rows through VMEM via manual DMA, and accumulates with
+one-hot MXU matmuls (exact: one-hot entries are 0/1).
 
-Layouts are chosen for Mosaic's 128-lane DMA alignment: indices travel as
-[M/128, 128] int32 blocks, updates as a transposed [C_pad, M] buffer, the
-accumulator as [C_pad, window_cells].
+Layout rule (the perf cliff this file exists to avoid): every DMA and
+writeback must be CONTIGUOUS in HBM. Updates travel as
+``[n_blocks, C_pad, B_ROWS]`` blocks, indices as ``[n_blocks', 128]``
+rows, and the accumulator as ``[n_win, C_pad, W_CELLS]`` — a strided
+``[C, M]`` layout makes each chunk DMA ~C separate strips and is
+descriptor-bound (~100 us/chunk instead of ~2 us).
 
 grad[v] = sum_{rows r with idx[r] == v} upd[r]
 """
@@ -45,8 +47,7 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                 idx_hbm.at[pl.ds(i * (B_ROWS // SUB), B_ROWS // SUB), :],
                 idx_scr.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(
-                updt_hbm.at[:, pl.ds(i * B_ROWS, B_ROWS)],
-                upd_scr.at[slot], sems.at[slot, 1]),
+                updt_hbm.at[i], upd_scr.at[slot], sems.at[slot, 1]),
         )
 
     @pl.when(c0 < c1)
@@ -84,7 +85,7 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-        out_ref[:] += acc
+        out_ref[0] += acc
         return 0
 
     jax.lax.fori_loop(c0, c1, chunk, 0)
@@ -101,11 +102,14 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     rows_pad = n_win * W_CELLS
 
     mpad = (-M) % B_ROWS + B_ROWS
+    n_blk = (M + mpad) // B_ROWS
     idx_p = jnp.concatenate(
         [idx_sorted.astype(jnp.int32),
          jnp.full((mpad,), rows_pad, jnp.int32)])
-    updt = jnp.zeros((C_PAD, M + mpad), jnp.float32)
-    updt = updt.at[:C, :M].set(upd_sorted.astype(jnp.float32).T)
+    # contiguous per-chunk update blocks: [n_blk, C_PAD, B_ROWS]
+    updt = jnp.zeros((M + mpad, C_PAD), jnp.float32)
+    updt = updt.at[:M, :C].set(upd_sorted.astype(jnp.float32))
+    updt = jnp.transpose(updt.reshape(n_blk, B_ROWS, C_PAD), (0, 2, 1))
     idx_blocks = idx_p.reshape(-1, SUB)
 
     bounds = jnp.arange(n_win + 1, dtype=jnp.int32) * W_CELLS
@@ -118,7 +122,7 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((C_PAD, W_CELLS), lambda w, offs: (0, w),
+        out_specs=pl.BlockSpec((1, C_PAD, W_CELLS), lambda w, offs: (w, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, B_ROWS // SUB, SUB), jnp.int32),
@@ -129,9 +133,11 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     out_t = pl.pallas_call(
         functools.partial(_accum_kernel, C_PAD),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C_PAD, rows_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_win, C_PAD, W_CELLS), jnp.float32),
     )(offsets, idx_blocks, updt)
-    return out_t[:C, :n_rows].T
+    # [n_win, C_PAD, W] -> [n_win*W, C_PAD] -> [n_rows, C]
+    return jnp.transpose(out_t, (0, 2, 1)).reshape(rows_pad, C_PAD)[
+        :n_rows, :C]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..ops import encoding, nn, rays as rayops
 from ..ops.activation import raw2alpha
-from ..ops.grid import mult_dist_interp, resize_trilinear, total_variation
+from ..ops.grid import (mult_dist_interp, resize_trilinear,
+                        total_variation_grad)
 from ..ops.marching import alpha2weights, composite, distortion_loss
 
 
@@ -259,6 +260,11 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
         pts_act = pts_pad[src]
         ray_of = jnp.minimum(src // S, N - 1)
         tfeat_act = tfeat[ray_of]
+        # fusion barrier between the sampling/compaction pipeline and the
+        # feature pipeline: the combined fusion at 160^3 scale breaks the
+        # TPU compile (regalloc RET_CHECK) and balloons compile time
+        pts_act, tfeat_act, src, filled = jax.lax.optimization_barrier(
+            (pts_act, tfeat_act, src, filled))
         h_act, pts_delta = query_density_features(params, cfg, pts_act,
                                                   tfeat_act)
         density_act = nn.mlp(params["densitynet"], h_act)[..., 0]
@@ -282,6 +288,9 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
         rgb = compaction.scatter_back(rgb_act, src, M_full).reshape(N, S, 3)
         valid = compaction.scatter_back(
             filled, src, M_full, fill=False).reshape(N, S)
+        # fusion barrier: scatter-back + the [N, S] transmittance cumprod in
+        # one fusion breaks the TPU compile (regalloc RET_CHECK) at 160^3
+        alpha, rgb, valid = jax.lax.optimization_barrier((alpha, rgb, valid))
     else:
         tfeat_b = jnp.broadcast_to(tfeat[:, None, :], (N, S, tfeat.shape[-1]))
         h, pts_delta = query_density_features(params, cfg, samples.pts,
@@ -457,9 +466,20 @@ def scale_volume_grid(params, cfg: TiNeuVoxConfig, num_voxels: int):
     return new_params, new_cfg
 
 
-def feature_total_variation(params, cfg: TiNeuVoxConfig, weight: float,
-                            dense_mode: bool):
-    """TV loss matching the caller-side scaling of
-    ``feature_total_variation_add_grad`` (lib/tineuvox.py:374-377)."""
+def feature_tv_grad(params, cfg: TiNeuVoxConfig, weight: float,
+                    photo_grad, dense):
+    """Feature-grid TV gradient with the caller-side scaling of
+    ``feature_total_variation_add_grad`` (lib/tineuvox.py:374-377).
+
+    ``dense`` (traced 0/1 scalar) selects the reference's
+    ``global_step < tv_feature_before`` dense mode; otherwise only voxels
+    whose photometric gradient is nonzero receive the TV gradient
+    (total_variation_kernel.cu:21 ``grad[index] != 0`` skip). Add the
+    result to the feature gradient AFTER jax.grad, like the reference adds
+    into ``.grad`` after backward (run.py:978-981)."""
     w = weight * max(cfg.world_size) / 128.0
-    return w * total_variation(params["feature"].astype(jnp.float32))
+    feat = params["feature"].astype(jnp.float32)
+    g = total_variation_grad(feat, w)
+    # per-element skip, channel included (the CUDA kernel indexes numel)
+    keep = (dense > 0.5) | (photo_grad != 0.0)
+    return jnp.where(keep, g, 0.0)

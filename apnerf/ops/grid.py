@@ -33,114 +33,118 @@ def grid_interp(grid, xyz, xyz_min, xyz_max):
 
 
 def _corner_tables(dims, i0, frac):
-    """Per-corner (lin index, weight, per-axis weight partials) tables.
-
-    Corner order k = dx*4 + dy*2 + dz. ``wp[a]`` is dw/dfrac_a (the signed
-    product of the other two axes' weights, zeroed out of bounds).
-    """
+    """Per-corner (lin index, weight) tables, corner order k = dx*4+dy*2+dz."""
     sx, sy, sz = dims
     i1 = i0 + 1
 
     def inb(i, size):
         return (i >= 0) & (i < size)
 
-    lins, ws, wpx, wpy, wpz = [], [], [], [], []
+    lins, ws = [], []
     for dx in (0, 1):
         ix = i1[:, 0] if dx else i0[:, 0]
         wx = frac[:, 0] if dx else 1.0 - frac[:, 0]
-        gx = 1.0 if dx else -1.0
         for dy in (0, 1):
             iy = i1[:, 1] if dy else i0[:, 1]
             wy = frac[:, 1] if dy else 1.0 - frac[:, 1]
-            gy = 1.0 if dy else -1.0
             for dz in (0, 1):
                 iz = i1[:, 2] if dz else i0[:, 2]
                 wz = frac[:, 2] if dz else 1.0 - frac[:, 2]
-                gz = 1.0 if dz else -1.0
                 ok = (inb(ix, sx) & inb(iy, sy) & inb(iz, sz)).astype(
                     jnp.float32)
                 lin = (jnp.clip(ix, 0, sx - 1) * sy
                        + jnp.clip(iy, 0, sy - 1)) * sz + jnp.clip(iz, 0, sz - 1)
                 lins.append(lin)
                 ws.append(wx * wy * wz * ok)
-                wpx.append(gx * wy * wz * ok)
-                wpy.append(wx * gy * wz * ok)
-                wpz.append(wx * wy * gz * ok)
-    return (jnp.stack(lins, 1), jnp.stack(ws, 1),
-            (jnp.stack(wpx, 1), jnp.stack(wpy, 1), jnp.stack(wpz, 1)))
+    return jnp.stack(lins, 1), jnp.stack(ws, 1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _trilerp(dims, grid_flat, u):
-    """Fused trilinear interp: out[m] = sum_k grid_flat[lin_k(u_m)] w_k(u_m).
+def _corner_gather(dims, grid_flat, w, lin, lin_ext):
+    """sum_k grid_flat[lin[:, k]] * w[:, k, None] -> [M, C].
 
-    Custom VJP: d/dgrid avoids both the XLA scatter floor and the 8x corner
-    argsort — contributions are binned by *base cell* with ONE sort of M keys
-    (valid because every corner index is base + a constant offset), windowed
-    into an extended [sx+1, sy+1, sz+1] accumulator holding all 8 corner
-    channels, then reduced by 8 dense shifted slices. Replaces the
-    ``F.grid_sample`` backward of the reference (lib/tineuvox.py:379-419).
+    Custom VJP for d/dgrid only (d/dw is the cheap per-corner dot and flows
+    back to the sample positions via plain autodiff of the weight tables).
+    The grid gradient avoids both the XLA scatter floor and the 8x corner
+    argsort — contributions are binned by *base cell* with ONE sort of M
+    keys (``lin_ext``, valid because every corner index is base + a
+    constant offset), accumulated into an extended [sx+1, sy+1, sz+1]
+    buffer holding all 8 corner channels by the Pallas sorted-window kernel,
+    then reduced by 8 dense shifted slices. Replaces the ``F.grid_sample``
+    backward of the reference (lib/tineuvox.py:379-419).
     """
-    lins, ws, _ = _corner_tables(dims, jnp.floor(u).astype(jnp.int32),
-                                 u - jnp.floor(u))
     out = 0.0
-    for k in range(8):
-        out = out + grid_flat[lins[:, k]] * ws[:, k, None]
+    for k in range(lin.shape[1]):
+        out = out + grid_flat[lin[:, k]] * w[:, k, None]
     return out
 
 
-def _trilerp_fwd(dims, grid_flat, u):
-    return _trilerp(dims, grid_flat, u), (grid_flat, u)
+def _corner_gather_fwd(dims, grid_flat, w, lin, lin_ext):
+    return _corner_gather(dims, grid_flat, w, lin, lin_ext), (
+        grid_flat, w, lin, lin_ext)
 
 
-def _trilerp_bwd(dims, res, g):
-    grid_flat, u = res
+def _corner_gather_bwd(dims, res, g):
+    grid_flat, w, lin, lin_ext = res
     sx, sy, sz = dims
     C = grid_flat.shape[1]
-    M = u.shape[0]
-    i0 = jnp.floor(u).astype(jnp.int32)
-    lins, ws, wps = _corner_tables(dims, i0, u - i0)
+    M = w.shape[0]
 
-    # d/du: sum_k dw_k/dfrac_a * (grid[lin_k] . g)  (frac grad == u grad)
-    dots = jnp.stack([(grid_flat[lins[:, k]] * g).sum(-1) for k in range(8)],
-                     axis=1)                                     # [M, 8]
-    du = jnp.stack([(wp * dots).sum(1) for wp in wps], axis=1)   # [M, 3]
+    # d/dw: per-corner inner products
+    dw = jnp.stack(
+        [(grid_flat[lin[:, k]] * g).sum(-1) for k in range(8)], axis=1)
 
     # d/dgrid: base-cell binned accumulation
-    upd = (g[:, None, :] * ws[:, :, None]).reshape(M, 8 * C)
+    upd = (g[:, None, :] * w[:, :, None]).reshape(M, 8 * C)
     from .knn import _tpu_default
     if _tpu_default():
         from ..kernels.scatter_pallas import sorted_window_accumulate
         ex, ey, ez = sx + 1, sy + 1, sz + 1
-        bx = jnp.clip(i0[:, 0] + 1, 0, sx)   # all-clipped rows have w == 0
-        by = jnp.clip(i0[:, 1] + 1, 0, sy)
-        bz = jnp.clip(i0[:, 2] + 1, 0, sz)
-        lin_ext = (bx * ey + by) * ez + bz
         order = jnp.argsort(lin_ext)
         acc = sorted_window_accumulate(lin_ext[order], upd[order],
                                        ex * ey * ez)
-        acc = acc.reshape(ex, ey, ez, 8, C)
-        dgrid = 0.0
-        for k, (dx, dy, dz) in enumerate(
-                [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]):
-            dgrid = dgrid + jax.lax.slice(
-                acc, (1 - dx, 1 - dy, 1 - dz, k, 0),
-                (1 - dx + sx, 1 - dy + sy, 1 - dz + sz, k + 1, C))[..., 0, :]
-        dgrid = dgrid.reshape(-1, C)
+        # Reduce the 8 corner channels by one shifted pairwise combine per
+        # axis (corner k = dx*4 + dy*2 + dz; dgrid[p] = sum_k acc[p+1-d_k]).
+        # Done axis-at-a-time with fusion barriers: one big 8-slice fusion
+        # over the [ex*ey*ez, 8C] buffer crashes the TPU compile helper at
+        # 160^3 scale.
+        acc = jax.lax.optimization_barrier(acc)
+        a = acc.reshape(ex, ey, ez, 4, 2, C)
+        a = (jax.lax.slice_in_dim(a, 1, 1 + sz, axis=2)[..., 0, :]
+             + jax.lax.slice_in_dim(a, 0, sz, axis=2)[..., 1, :])
+        a = jax.lax.optimization_barrier(a).reshape(ex, ey, sz, 2, 2, C)
+        a = (jax.lax.slice_in_dim(a, 1, 1 + sy, axis=1)[..., 0, :]
+             + jax.lax.slice_in_dim(a, 0, sy, axis=1)[..., 1, :])
+        a = jax.lax.optimization_barrier(a).reshape(ex, sy, sz, 1, 2, C)
+        a = (jax.lax.slice_in_dim(a, 1, 1 + sx, axis=0)[..., 0, :]
+             + jax.lax.slice_in_dim(a, 0, sx, axis=0)[..., 1, :])
+        dgrid = a.reshape(-1, C)
     else:
-        dgrid = jnp.zeros_like(grid_flat).at[lins.T.reshape(-1)].add(
+        dgrid = jnp.zeros_like(grid_flat).at[lin.T.reshape(-1)].add(
             upd.reshape(M, 8, C).transpose(1, 0, 2).reshape(-1, C))
-    return dgrid.astype(grid_flat.dtype), du
+    return dgrid.astype(grid_flat.dtype), dw, None, None
 
 
-_trilerp.defvjp(_trilerp_fwd, _trilerp_bwd)
+_corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)
 
 
 def _interp_at_indices(grid, u):
     """Trilinear interp at fractional voxel indices ``u [..., 3]``."""
+    sx, sy, sz = grid.shape[:3]
     lead = u.shape[:-1]
-    out = _trilerp(grid.shape[:3], grid.reshape(-1, grid.shape[-1]).astype(
-        jnp.float32), u.reshape(-1, 3))
+    u = u.reshape(-1, 3)
+    i0f = jnp.floor(u)
+    i0 = i0f.astype(jnp.int32)
+    lins, ws = _corner_tables((sx, sy, sz), i0, u - i0f)
+    # extended-grid base cell (all-clipped rows carry w == 0)
+    ey, ez = sy + 1, sz + 1
+    bx = jnp.clip(i0[:, 0] + 1, 0, sx)
+    by = jnp.clip(i0[:, 1] + 1, 0, sy)
+    bz = jnp.clip(i0[:, 2] + 1, 0, sz)
+    lin_ext = (bx * ey + by) * ez + bz
+    out = _corner_gather(
+        (sx, sy, sz), grid.reshape(-1, grid.shape[-1]).astype(jnp.float32),
+        ws, jax.lax.stop_gradient(lins), jax.lax.stop_gradient(lin_ext))
     return out.reshape(*lead, grid.shape[-1])
 
 
@@ -187,6 +191,38 @@ def resize_trilinear(grid, new_shape):
             axes_u.append(jnp.arange(dst, dtype=jnp.float32) * (src - 1) / (dst - 1))
     u = jnp.stack(jnp.meshgrid(*axes_u, indexing="ij"), axis=-1)
     return _interp_at_indices(grid, u)
+
+
+def total_variation_grad(grid, weight, mask=None):
+    """Analytic clamped-6-neighbour TV gradient, reference-exact.
+
+    Mirrors ``total_variation_add_grad`` (total_variation_kernel.cu:13-67):
+    g_i = (weight/6) * sum_n clamp(v_i - v_n, -1, 1) over the up-to-6 axis
+    neighbours (boundary terms zero). ``mask`` [X,Y,Z] implements the CUDA
+    ``dense_mode=False`` branch: voxels with mask False receive NO gradient
+    (their neighbours still do — the skip is one-sided, which a masked loss
+    term cannot express; that is why this is a gradient, not a loss).
+    """
+    g = 0.0
+    for axis in range(3):
+        for direction in (1, -1):
+            sl = [slice(None)] * 4
+            edge = [slice(None)] * 4
+            if direction > 0:
+                sl[axis] = slice(0, -1)
+                edge[axis] = slice(0, 1)
+                shifted = jnp.concatenate(
+                    [grid[tuple(edge)], grid[tuple(sl)]], axis)
+            else:
+                sl[axis] = slice(1, None)
+                edge[axis] = slice(-1, None)
+                shifted = jnp.concatenate(
+                    [grid[tuple(sl)], grid[tuple(edge)]], axis)
+            g = g + jnp.clip(grid - shifted, -1.0, 1.0)
+    g = (weight / 6.0) * g
+    if mask is not None:
+        g = jnp.where(mask[..., None], g, 0.0)
+    return g
 
 
 def total_variation(grid, mask=None):

@@ -68,7 +68,7 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
     w_dist = float(cfg_train.get("weight_distortion", 0.0))
     w_tv = float(cfg_train.get("weight_tv_feature", 0.0))
 
-    def loss_fn(params, batch, tv_on, occ):
+    def loss_fn(params, batch, occ):
         ro, rd, vd = raydata.pixels_to_rays(
             Ks, poses, batch["cam"], batch["pix"], H, W,
             inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
@@ -96,24 +96,39 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
         if w_dist > 0:
             loss = loss + w_dist * marching.distortion_loss(
                 res["weights"], res["s"], 1.0 / res["n_max"])
-        if w_tv > 0:
-            tv = tineuvox.feature_total_variation(
-                params, cfg_model_static, w_tv / target.shape[0], True)
-            loss = loss + tv_on * tv
         return loss, mse
+
+    def add_tv_grad(params, grads, batch, tv_on, tv_dense):
+        """TV gradient injected after backward, like the reference's
+        ``feature_total_variation_add_grad`` call (run.py:978-981).
+        ``tv_dense`` = (global_step < tv_feature_before) as a 0/1 scalar."""
+        if w_tv <= 0:
+            return grads
+        tvg = tineuvox.feature_tv_grad(
+            params, cfg_model_static, w_tv / batch["rgb"].shape[0],
+            grads["feature"], tv_dense)
+        grads = dict(grads)
+        grads["feature"] = grads["feature"] + tv_on * tvg
+        return grads
 
     if use_occupancy:
         @jax.jit
-        def step(params, opt_state, batch, tv_on, occ):
+        def step(params, opt_state, batch, tv_on, occ, tv_dense=1.0):
             (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, tv_on, occ)
+                params, batch, occ)
+            grads = add_tv_grad(params, grads, batch, tv_on, tv_dense)
+            # fusion barrier: grads fused into the Adam update tips the
+            # 160^3 program over the TPU compiler's regalloc bug
+            grads = jax.lax.optimization_barrier(grads)
             params, opt_state = optimizer.update(grads, opt_state, params)
             return params, opt_state, loss, mse
     else:
         @jax.jit
-        def step(params, opt_state, batch, tv_on):
+        def step(params, opt_state, batch, tv_on, tv_dense=1.0):
             (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, tv_on, None)
+                params, batch, None)
+            grads = add_tv_grad(params, grads, batch, tv_on, tv_dense)
+            grads = jax.lax.optimization_barrier(grads)
             params, opt_state = optimizer.update(grads, opt_state, params)
             return params, opt_state, loss, mse
 
@@ -214,7 +229,12 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         if occupancy_active:
             n_s = model_cfg.max_steps(stepsize)
             budget = int(cfg_train["N_rand"]) * n_s * occ_frac
-            budget = max(4096, int(budget) // 1024 * 1024)
+            # round DOWN to a multiple of 2^17: the TPU compiler's regalloc
+            # RET_CHECKs on some non-power-of-two budget shapes at 160^3
+            # scale (569344 crashes, 524288 compiles); coarse rounding
+            # keeps the shapes in the observed-safe family
+            budget = max(4096, int(budget) // 131072 * 131072 or
+                         int(budget) // 1024 * 1024)
         step = make_train_step(model_cfg, cfg_train, optimizer, Ks_dev,
                                poses_dev, H, W, data_dict["near"],
                                data_dict["far"], bg,
@@ -250,6 +270,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
     tv_before = float(cfg_train.get("tv_before", 1e9))
     tv_after = float(cfg_train.get("tv_after", 0))
     tv_every = int(cfg_train.get("tv_every", 1))
+    tv_feature_before = float(cfg_train.get("tv_feature_before", 1e9))
     stats = {"psnr": [], "loss": []}
     t0 = time.time()
 
@@ -294,12 +315,16 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         tv_on = jnp.float32(
             1.0 if (global_step < tv_before and global_step > tv_after
                     and global_step % tv_every == 0) else 0.0)
+        # dense TV until tv_feature_before, then only batch-touched voxels
+        # (reference run.py:978-981 dense_mode switch)
+        tv_dense = jnp.float32(
+            1.0 if global_step < tv_feature_before else 0.0)
         if occupancy_active:
             params, opt_state, loss, mse = step_fn(params, opt_state, batch,
-                                                   tv_on, occ)
+                                                   tv_on, occ, tv_dense)
         else:
             params, opt_state, loss, mse = step_fn(params, opt_state, batch,
-                                                   tv_on)
+                                                   tv_on, tv_dense)
 
         if global_step % log_every == 0 or global_step == n_iters:
             psnr = -10.0 * np.log10(float(mse))

@@ -268,3 +268,54 @@ def test_total_variation_grad_matches_clamped_difference():
         # dloss/dv_a = clamp(v_a - v_b) (a first along axis) -> sign fix below
     expected = -expected / N
     np.testing.assert_allclose(np.asarray(grad), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_total_variation_grad_analytic_reference_exact():
+    """Analytic TV gradient == CUDA total_variation_add_grad semantics
+    (total_variation_kernel.cu:13-67): (w/6) * sum_n clamp(v_i - v_n, -1, 1)
+    over in-bounds axis neighbours."""
+    rng = np.random.default_rng(12)
+    g = jnp.asarray(rng.normal(size=(5, 4, 3, 2)).astype(np.float32) * 2)
+    w = 0.7
+    got = np.asarray(ops.total_variation_grad(g, w))
+    gn = np.asarray(g)
+    exp = np.zeros_like(gn)
+    X, Y, Z, _ = gn.shape
+    for i in range(X):
+        for j in range(Y):
+            for k in range(Z):
+                for di, dj, dk in [(1, 0, 0), (-1, 0, 0), (0, 1, 0),
+                                   (0, -1, 0), (0, 0, 1), (0, 0, -1)]:
+                    ii, jj, kk = i + di, j + dj, k + dk
+                    if 0 <= ii < X and 0 <= jj < Y and 0 <= kk < Z:
+                        exp[i, j, k] += np.clip(
+                            gn[i, j, k] - gn[ii, jj, kk], -1, 1)
+    exp *= w / 6.0
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)
+
+
+def test_feature_tv_sparse_mode_masks_untouched_voxels():
+    """Sparse mode (global_step >= tv_feature_before): only elements with a
+    nonzero photometric gradient receive TV gradient; their neighbours keep
+    theirs (reference run.py:978-981 + total_variation_kernel.cu:21)."""
+    from apnerf.models import tineuvox
+
+    cfg = tineuvox.TiNeuVoxConfig(
+        xyz_min=(-1, -1, -1), xyz_max=(1, 1, 1), num_voxels=6 ** 3,
+        num_voxels_base=6 ** 3, voxel_dim=2, defor_depth=2, net_width=16)
+    rng = np.random.default_rng(13)
+    feat = jnp.asarray(
+        rng.normal(size=(*cfg.world_size, 2)).astype(np.float32))
+    params = {"feature": feat}
+    photo_grad = jnp.asarray(
+        (rng.uniform(size=feat.shape) < 0.3).astype(np.float32))
+
+    dense = np.asarray(tineuvox.feature_tv_grad(params, cfg, 0.5,
+                                                photo_grad, jnp.float32(1.0)))
+    sparse = np.asarray(tineuvox.feature_tv_grad(params, cfg, 0.5,
+                                                 photo_grad, jnp.float32(0.0)))
+    active = np.asarray(photo_grad) != 0
+    # active elements: identical to dense; inactive: exactly zero
+    np.testing.assert_allclose(sparse[active], dense[active], rtol=1e-6)
+    assert np.all(sparse[~active] == 0.0)
+    assert np.any(dense[~active] != 0.0)   # the modes genuinely diverge
