@@ -102,6 +102,13 @@ pcd_train_config = dict(
 )
 
 pcd_model_and_render = dict(
+    # TPU sampling budgets (additive vs reference): static per-ray
+    # sample count after occupancy compaction, global fraction of
+    # samples fed to the KNN, occupancy-grid resolution. Defaults
+    # tuned on the synthetic bench scene.
+    sample_budget=192,
+    active_fraction=0.375,
+    occ_res=64,
     stepsize=0.5,
     world_bound_scale=1.05,
     fast_color_thres=1e-4,

@@ -21,5 +21,13 @@ pcd_train_config = dict(
 )
 
 pcd_model_and_render = dict(
+    # TPU sampling budgets (additive vs reference): static per-ray
+    # sample count after occupancy compaction, global fraction of
+    # samples fed to the KNN, occupancy-grid resolution. Defaults
+    # tuned on the synthetic bench scene; the larger masked-human
+    # budgets here are provisional pending real ZJU data.
+    sample_budget=256,
+    active_fraction=0.3,
+    occ_res=64,
     skeleton_density_threshold=0.1,
 )

@@ -10,10 +10,14 @@ block's bounding box cannot contribute a neighbour the caller keeps.
 Design (vs the brute-force kernel in knn_pallas.py):
   * points Morton-sorted into spatially compact tiles of ``PTS`` and kept
     **entirely VMEM-resident** as ``[T, 3, PTS]`` (~0.2 MB for 10^4 points);
+    the tiling is exposed separately (``build_point_tables``) so per-frame
+    rendering builds it ONCE and every ray chunk reuses it;
   * queries Morton-sorted (normalised by the *point* bbox so padded queries
-    can't wreck the code scale); XLA precomputes each query block's
-    candidate-tile list from bbox gaps (~25% of tiles survive on real
-    workloads), shipped as a per-block metadata row;
+    can't wreck the code scale) — or pre-sorted by the caller
+    (``sort_queries=False``, e.g. aggregate_pts' Morton-ordered
+    compaction); XLA precomputes each query block's candidate-tile list
+    from bbox gaps (~25% of tiles survive on real workloads), shipped as a
+    per-block metadata row;
   * the kernel consumes candidates in rounds of ``RT`` tiles. Selection
     uses **packed int32 keys** (d2 high bits | lane) and a *write-free*
     ascending-min extraction: with unique keys, the (j+1)th best is
@@ -112,30 +116,16 @@ def _kernel(k: int, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf):
     oi_ref[:] = bidx
 
 
-@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))
-def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
-                      sort_queries: bool = True):
-    """Radius-bounded k-NN: (d2 [M, k] ascending, idx [M, k]).
+def build_point_tables(points):
+    """Morton-sort + tile the point cloud for the radius-KNN kernel.
 
-    Every neighbour with d2 < radius2 is found (up to 2^-11-relative
-    selection ties); neighbours beyond radius2 may be reported as missing
-    (d2 ~ 3e38, idx arbitrary). Exact for consumers that reject samples
-    whose kth neighbour exceeds the radius (aggregate_pts' ``nn_ok`` cutoff
-    == reference lib/temporalpoints.py:440). Returned d2 are the ascending
-    selection keys: exact distances truncated to 11 mantissa bits.
-
-    ``sort_queries=False`` skips the internal Morton sort + unsort of the
-    queries — use when the caller already ordered them spatially (e.g.
-    aggregate_pts' Morton-ordered compaction), saving two M-sized argsorts.
+    Per-frame precompute (the warped cloud changes per frame, not per ray
+    chunk): returns a dict reused by every ``knn_radius_pallas`` call of
+    the frame. Shapes are static given the point count.
     """
-    assert k <= 16
-    M = queries.shape[0]
-    P = points.shape[0]
-    qf = queries.astype(jnp.float32)
-    pf = points.astype(jnp.float32)
-
-    # ---- points: Morton sort, pad, tile -------------------------------
     from ..ops.knn import morton_codes
+    pf = points.astype(jnp.float32)
+    P = pf.shape[0]
     p_lo = pf.min(0)
     p_hi = pf.max(0)
     perm = jnp.argsort(morton_codes(pf, p_lo, p_hi))
@@ -147,13 +137,51 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     T = (P + ppad) // PTS
     assert T < 1023, "point set too large for the metadata row"
     tiles = pts.reshape(T, PTS, 3)
-    t_lo = tiles.min(1)                             # [T, 3]
-    t_hi = tiles.max(1)                             # pad rows only loosen lb
-    pts_t = jnp.transpose(tiles, (0, 2, 1))         # [T, 3, PTS]
+    return {
+        "pts_t": jnp.transpose(tiles, (0, 2, 1)),   # [T, 3, PTS]
+        "t_lo": tiles.min(1),                       # [T, 3]
+        "t_hi": tiles.max(1),                       # pad rows only loosen lb
+        "perm": perm,
+        "p_lo": p_lo,
+        "p_hi": p_hi,
+    }
+
+
+@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))
+def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
+                      sort_queries: bool = True, tables=None):
+    """Radius-bounded k-NN: (d2 [M, k] ascending, idx [M, k]).
+
+    Every neighbour with d2 < radius2 is found (up to 2^-11-relative
+    selection ties); neighbours beyond radius2 may be reported as missing
+    (d2 ~ 3e38, idx arbitrary). Exact for consumers that reject samples
+    whose kth neighbour exceeds the radius (aggregate_pts' ``nn_ok`` cutoff
+    == reference lib/temporalpoints.py:440). Returned d2 are the ascending
+    selection keys: exact distances truncated to 11 mantissa bits.
+
+    ``sort_queries=False`` skips the internal Morton sort + unsort of the
+    queries (caller already ordered them spatially). ``tables``: per-frame
+    ``build_point_tables(points)`` output; pass it to skip the per-call
+    point sort/tiling.
+    """
+    assert k <= 16
+    M = queries.shape[0]
+    P = points.shape[0]
+    qf = queries.astype(jnp.float32)
+
+    if tables is None:
+        tables = build_point_tables(points)
+    pts_t = tables["pts_t"]
+    t_lo = tables["t_lo"]
+    t_hi = tables["t_hi"]
+    perm = tables["perm"]
+    T = pts_t.shape[0]
+    ppad = T * PTS - P
 
     # ---- queries: Morton sort (point-bbox normalised), pad, block bbox
     if sort_queries:
-        qperm = jnp.argsort(morton_codes(qf, p_lo, p_hi))
+        from ..ops.knn import morton_codes
+        qperm = jnp.argsort(morton_codes(qf, tables["p_lo"], tables["p_hi"]))
         q = qf[qperm]
     else:
         q = qf

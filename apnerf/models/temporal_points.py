@@ -56,6 +56,8 @@ class TemporalPointsConfig:
     sample_budget: int = 192          # static per-ray samples after compaction
     max_steps: int = 512              # static pre-compaction sample count
     active_fraction: float = 0.375    # global budget of samples fed to KNN
+    occ_res: int = 64                 # occupancy-grid resolution per axis
+    agg_bf16: bool = True             # half-width neighbour aggregation
 
     @property
     def t_dim(self):
@@ -203,10 +205,10 @@ def _compact_per_ray(valid, budget):
     return src
 
 
-OCC_RES = 64  # occupancy-grid resolution per axis
+OCC_RES = 64  # default occupancy-grid resolution (see cfg.occ_res)
 
 
-def build_occupancy(t_hat_pcd, bbox_min, bbox_max, radius):
+def build_occupancy(t_hat_pcd, bbox_min, bbox_max, radius, occ_res=OCC_RES):
     """Binary occupancy grid of the warped cloud, dilated by one cell.
 
     TPU-side pruning: a ray sample can only pass the reference's
@@ -217,8 +219,8 @@ def build_occupancy(t_hat_pcd, bbox_min, bbox_max, radius):
     computations for empty space.
     """
     extent = bbox_max - bbox_min
-    cell = jnp.maximum(jnp.max(extent) / OCC_RES, jnp.sqrt(radius))
-    dims = OCC_RES
+    cell = jnp.maximum(jnp.max(extent) / occ_res, jnp.sqrt(radius))
+    dims = occ_res
     idx = jnp.clip(((t_hat_pcd - bbox_min) / cell), 0, dims - 1).astype(jnp.int32)
     grid = jnp.zeros((dims, dims, dims), jnp.float32)
     grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(1.0, mode="drop")
@@ -280,9 +282,18 @@ def prepare_occupancy(cfg: TemporalPointsConfig, state, t_hat_pcd,
     else:
         bb_min, bb_max = state["xyz_min"], state["xyz_max"]
     occ, occ_cell = build_occupancy(jax.lax.stop_gradient(t_hat_pcd),
-                                    bb_min, bb_max, query_radius)
-    return {"bb_min": bb_min, "bb_max": bb_max, "occ": occ,
+                                    bb_min, bb_max, query_radius,
+                                    occ_res=cfg.occ_res)
+    info = {"bb_min": bb_min, "bb_max": bb_max, "occ": occ,
             "occ_cell": occ_cell}
+    from ..ops.knn import _tpu_default
+    if _tpu_default():
+        # per-frame Morton tiling of the warped cloud for the KNN kernel —
+        # every ray chunk of the frame reuses it
+        from ..kernels.knn_cells_pallas import build_point_tables
+        info["knn_tables"] = build_point_tables(
+            jax.lax.stop_gradient(t_hat_pcd))
+    return info
 
 
 def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
@@ -341,7 +352,8 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
 
     d2, idx = knn(jax.lax.stop_gradient(q),
                   jax.lax.stop_gradient(t_hat_pcd), k=K,
-                  radius2=float(query_radius), assume_sorted=True)
+                  radius2=float(query_radius), assume_sorted=True,
+                  point_tables=occ_info.get("knn_tables"))
     # radius cutoff on the kth neighbour (squared-distance semantics of the
     # reference, lib/temporalpoints.py:440)
     nn_ok = (d2[:, -1] <= query_radius) & act_ok
@@ -362,6 +374,19 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     sig_all = (state["mean_min_distance"]
                * jnp.maximum(params["direct_eps"], 0.0))
 
+    # bf16 aggregation (reference analogue: --step_to_half, run.py:898-899):
+    # the [M_act, K, feat_dim] neighbour-feature gather + feat_net are
+    # HBM-traffic bound; half-width activations halve it. Params stay fp32;
+    # matmuls accumulate fp32 on the MXU; geometry (distances, rotations,
+    # weights) stays fp32.
+    if cfg.agg_bf16:
+        feat_src = params["canonical_feat"].astype(jnp.bfloat16)
+        featnet_p = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params["feat_net"])
+    else:
+        feat_src = params["canonical_feat"]
+        featnet_p = params["feat_net"]
+
     def block_fn(args):
         """Neighbour aggregation for one flat block of samples.
 
@@ -379,14 +404,15 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         rel_canon = jnp.einsum("mkab,mkb->mka", rot_k, rel_p, precision=HIGH)
         rel_emb = encoding.poc_fre(rel_canon,
                                    encoding.poc_freqs(cfg.posbase_pe))
-        feat_in = [rel_emb, params["canonical_feat"][idxb]]
+        in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
+        feat_in = [rel_emb.astype(in_dt), feat_src[idxb]]
         if pose_embedding is not None:
             pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, -1),
                                   (*rel_emb.shape[:2], pose_embedding.size))
-            feat_in.append(pe)
-        h_k = nn.mlp(params["feat_net"], jnp.concatenate(feat_in, -1),
+            feat_in.append(pe.astype(in_dt))
+        h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
                      activation=nn.leaky_relu, final_activation=nn.leaky_relu)
-        h = (h_k * w[..., None]).sum(1)                    # [blk, F]
+        h = (h_k.astype(jnp.float32) * w[..., None]).sum(1)  # [blk, F] fp32
         density = nn.mlp(params["densitynet"], h)[..., 0]
         alpha = raw2alpha(density, cfg.act_shift, interval)
         rgb = jax.nn.sigmoid(apply_rgbnet(

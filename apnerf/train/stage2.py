@@ -12,6 +12,7 @@ mask pixels (host RNG); rays are synthesised on device.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict
 
@@ -43,7 +44,14 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
 
     diag = float(np.linalg.norm(xyz_max - xyz_min))
     max_steps = max_steps or int(np.ceil(diag / (stepsize * voxel_size))) + 1
-    sample_budget = sample_budget or min(192, max_steps)
+    # per-dataset TPU budgets (configurable since the bench-scene defaults
+    # over- or under-shoot on other scene families; see configs/*/default.py)
+    sample_budget = (sample_budget
+                     or int(cfg_model.get("sample_budget", 0))
+                     or min(192, max_steps))
+    sample_budget = min(sample_budget, max_steps)
+    active_fraction = float(cfg_model.get("active_fraction", 0.375))
+    occ_res = int(cfg_model.get("occ_res", 64))
 
     mcfg = tp.TemporalPointsConfig(
         n_points=len(pcd), n_joints=len(joints),
@@ -60,7 +68,8 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         frozen_view_dir=frozen_view_dir is not None,
         over_parameterized_rot=bool(cfg_train.over_parameterized_rot),
         pose_embedding_dim=int(cfg_train.pose_embedding_dim),
-        sample_budget=int(sample_budget), max_steps=int(max_steps))
+        sample_budget=int(sample_budget), max_steps=int(max_steps),
+        active_fraction=active_fraction, occ_res=occ_res)
 
     key = jax.random.PRNGKey(seed)
     params = tp.init_params(key, mcfg, pcd, joints, bones,
@@ -176,6 +185,38 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
                                       frozen_view_dir=frozen_view_dir,
                                       sample_budget=sample_budget)
 
+    # startup budget audit: measure how full the static sample budgets run
+    # at the canonical pose so silent truncation is visible (the budgets are
+    # config knobs, not guarantees — see pcd_model_and_render)
+    try:
+        probe_n = 2048
+        sel0 = np.arange(min(probe_n, ray_index.n))
+        rgb0, m0, t0_, cam0, pix0 = ray_index.gather(sel0)
+        ro0, rd0, vd0 = raydata.pixels_to_rays(
+            jnp.asarray(data_dict["Ks"]), jnp.asarray(data_dict["poses"]),
+            jnp.asarray(cam0, jnp.int32), jnp.asarray(pix0, jnp.int32), H, W,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y)
+        frame = tp.prepare_frame(params, mcfg, state,
+                                 t=jnp.float32(float(t0_[0])))
+        occ_info = frame["occ_info"]
+        pts, valid, _ = tp.sample_rays_compact(
+            mcfg, ro0, rd0, data_dict["near"], data_dict["far"],
+            occ_info["bb_min"], occ_info["bb_max"], occ=occ_info["occ"],
+            occ_cell=occ_info["occ_cell"])
+        v = np.asarray(valid)
+        per_ray = v.sum(1)
+        m_act = max(1024, (int(v.size * mcfg.active_fraction) + 1023)
+                    // 1024 * 1024)
+        print(f"stage2: budget audit — sample_budget {mcfg.sample_budget} "
+              f"(per-ray demand p99 {int(np.percentile(per_ray, 99))}, "
+              f"max {int(per_ray.max())}), active budget {m_act} vs "
+              f"valid {int(v.sum())} "
+              f"({'TRUNCATING' if v.sum() > m_act else 'ok'}), "
+              f"occ_res {mcfg.occ_res}")
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"stage2: budget audit skipped ({e})")
+
     optimizer = create_optimizer(params, dict(cfg_train))
     opt_state = optimizer.init(params)
 
@@ -256,6 +297,25 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
                          bg=float(cfg_train.bg_col))
         return res["rgb_marched"]
 
+    from ..render.renderers import weight_palette
+    _w_cols = jnp.asarray(
+        weight_palette(mcfg.n_joints).astype(np.float32))
+
+    @jax.jit
+    def comparison_chunk(params, ro, rd, vd, t):
+        """One forward returning the reference's three prediction panels:
+        direct-pcd | full | LBS-weights (run.py:772-811)."""
+        from ..ops.marching import composite
+        res = tp.forward(params, mcfg, state, ro, rd, vd, t=t,
+                         near=data_dict["near"], far=data_dict["far"],
+                         bg=float(cfg_train.bg_col), render_weights=True,
+                         render_pcd_direct=True)
+        col = jnp.einsum("rbj,jc->rbc", res["lbs_w_per_sample"], _w_cols)
+        wimg = composite(res["weights_for_render"], col,
+                         bg=float(cfg_train.bg_col),
+                         alphainv_last=res["alphainv_for_render"])
+        return (res["rgb_marched_direct"], res["rgb_marched"], wimg)
+
     def render_preview(params, img_row, factor=4):
         img_idx = i_train[img_row]
         h, w = H // factor, W // factor
@@ -277,6 +337,37 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
             gt = gt / 255.0
         gt = gt[::factor, ::factor, :3]
         return np.asarray(rgb).reshape(h, w, 3), gt
+
+    def render_comparison_video(params, n_frames=6, factor=4):
+        """Static-cam GT | direct-pcd | full | LBS-weights panel sequence
+        over linspace times (reference run.py:772-811 tensorboard video)."""
+        h, w = H // factor, W // factor
+        cam0 = int(ray_index.img_cam[0])
+        K = data_dict["Ks"][cam0].copy()
+        K[:2, :3] /= factor
+        pix = jnp.arange(h * w, dtype=jnp.int32)
+        Kd = jnp.asarray(K)[None]
+        cd = jnp.asarray(data_dict["poses"][cam0])[None]
+        ro, rd, vd = raydata.pixels_to_rays(
+            Kd, cd, jnp.zeros_like(pix), pix, h, w,
+            inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+            flip_y=cfg.data.flip_y)
+        cam_rows = np.where(ray_index.img_cam == cam0)[0]
+        frames = []
+        for tq in np.linspace(0.0, 1.0, n_frames):
+            # GT: this camera's train image nearest in time
+            r = cam_rows[np.argmin(
+                np.abs(ray_index.img_time[cam_rows] - tq))]
+            gt = np.asarray(data_dict["images"][i_train[r]], np.float32)
+            if gt.max() > 1.5:
+                gt = gt / 255.0
+            gt = gt[::factor, ::factor, :3]
+            direct, full, wimg = comparison_chunk(params, ro, rd, vd,
+                                                  jnp.float32(tq))
+            panels = [gt] + [np.asarray(x).reshape(h, w, 3)
+                             for x in (direct, full, wimg)]
+            frames.append(np.clip(np.concatenate(panels, axis=1), 0, 1))
+        return np.stack(frames)                       # [T, h, 4w, 3]
 
     stats = {"psnr": [], "loss": []}
     t0 = time.time()
@@ -348,6 +439,20 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
                 panels.append(np.concatenate([gt, pred], axis=1))
             grid = np.clip(np.concatenate(panels, axis=0), 0, 1)
             writer.add_image("payload", grid.transpose(2, 0, 1), global_step)
+            # GT | direct | full | weights comparison sequence
+            # (reference run.py:772-811; GIF instead of mp4 — no ffmpeg in
+            # this image — plus a tensorboard filmstrip)
+            vid = render_comparison_video(params)
+            writer.add_images("video_panels", vid.transpose(0, 3, 1, 2),
+                              global_step)
+            try:
+                import imageio
+                imageio.mimsave(
+                    os.path.join(tensorboard_path,
+                                 f"comparison_{global_step:06d}.gif"),
+                    (vid * 255).astype(np.uint8), fps=4, loop=0)
+            except Exception as e:  # pragma: no cover
+                print(f"stage2: gif write skipped ({e})")
 
     if writer is not None:
         writer.close()

@@ -1,5 +1,7 @@
 """End-to-end miniature pipeline: synthetic scene -> stage1 -> export ->
 skeleton -> stage2 -> repose render. Tiny sizes; CPU-friendly."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -50,10 +52,15 @@ def test_full_pipeline(tiny_setup, tmp_path):
     assert art["canonical"]["feat"].shape[1] == mcfg.net_width
 
     scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+    tb_dir = str(tmp_path / "tb")
     p2, m2, st2, stats2 = stage2.train_pcd(
         cfg, data, art["canonical"], art["skeleton"], params, mcfg,
-        scene_bbox, n_iters=25, log_every=25, sample_budget=32)
+        scene_bbox, n_iters=25, log_every=25, sample_budget=32,
+        tensorboard_path=tb_dir, i_save=25)
     assert np.isfinite(stats2["loss"][-1])
+    import glob
+    # comparison panel GIFs written at i_save (reference run.py:772-811)
+    assert glob.glob(tb_dir + "/comparison_*.gif"), os.listdir(tb_dir)
 
     # repose with explicit rotations renders finite images
     J = m2.n_joints
