@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Microbenchmark: stage-2 KNN formulations on the real chip.
 
 Reproduces the bench.py query distribution (ray samples near an articulated

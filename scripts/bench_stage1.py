@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Microbenchmark: stage-1 train step at jumpingjacks scale (160^3 x 12 grid,
 4096 rays, occupancy-pruned active budget). Chained host readbacks for
 timing (PERF.md)."""
@@ -51,6 +53,8 @@ def main():
     occ = compaction.build_occupancy_grid(occ)
     frac = 0.25
     budget = max(4096, int(N_rand * n_steps * frac) // 1024 * 1024)
+    import os as _os
+    if _os.environ.get("BUDGET_OVERRIDE"): budget = int(_os.environ["BUDGET_OVERRIDE"])
     print(f"n_steps={n_steps} budget={budget} "
           f"({budget / (N_rand * n_steps):.3f} of dense)")
 

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Debug harness for knn_radius_pallas: find and dissect mismatching rows."""
 import numpy as np
 

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Decompose knn_radius_pallas wall time: prep (sorts) vs kernel vs post."""
 import time
 

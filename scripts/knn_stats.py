@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Diagnostics: candidate-tile statistics for the stage-2 KNN workload."""
 import jax
 import numpy as np
