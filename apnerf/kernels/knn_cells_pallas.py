@@ -47,7 +47,17 @@ LMASK = 0xFFF     # 12 lane bits (BW <= 4096)
 SENT = 0x7F000000  # sentinel key high bits (huge positive float pattern)
 
 
-def _kernel(k: int, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf):
+def _kernel(k: int, meta_ref, q_ref, p_hbm, ok_ref, oi_ref, kbuf, p_scr,
+            p_sem):
+    # the point table is identical for every grid step; with a plain VMEM
+    # BlockSpec Mosaic re-DMAs it per block (~80 us x n_blocks dominated the
+    # kernel). Copy it once into persistent scratch on the first block.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(p_hbm, p_scr, p_sem)
+        cp.start()
+        cp.wait()
+    p_ref = p_scr
     q = q_ref[:]                                    # [QB, 3]
     qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
     n = meta_ref[0, 0, 0]                           # candidate count
@@ -210,8 +220,7 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((QB, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 3, PTS), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((QB, k), lambda i: (i, 0),
@@ -223,7 +232,9 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
             jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
             jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((QB, BW), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((QB, BW), jnp.int32),
+                        pltpu.VMEM((T, 3, PTS), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
     )(meta, q, pts_t)
 
     # unpack ascending quantized distances from the keys (the consumer only

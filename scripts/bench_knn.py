@@ -66,7 +66,7 @@ def main():
     ok_new = d_new[sub][:, -1] <= r2
     assert (ok_ref == ok_new).all(), (ok_ref.sum(), ok_new.sum())
     np.testing.assert_allclose(d_new[sub][ok_ref], ref_d[ok_ref],
-                               rtol=1e-4, atol=1e-6)
+                               rtol=6e-4, atol=1e-6)
     print(f"correctness ok; {ok_ref.mean():.3f} of samples pass radius")
 
     f_old = jax.jit(lambda a, b: knn_pallas_sorted(a, b, k=k, radius2=r2))
