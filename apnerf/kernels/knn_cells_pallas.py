@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QB = 256          # queries per block
+GB = 4            # query blocks per grid step (amortises per-step overhead)
 PTS = 128         # points per tile
 RT = 24           # tiles per selection round (most blocks need one round)
 CW = RT * PTS     # candidate lanes per round
@@ -58,19 +59,24 @@ def _kernel(k: int, meta_ref, q_ref, p_hbm, ok_ref, oi_ref, kbuf, p_scr,
         cp.start()
         cp.wait()
     p_ref = p_scr
-    q = q_ref[:]                                    # [QB, 3]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-    n = meta_ref[0, 0, 0]                           # candidate count
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (QB, BW), 1)
-    sent_buf = SENT | lane_iota                     # unique per lane
     tail = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
+    # GB query blocks per grid step: the remaining per-step cost (~50 us of
+    # block fetch/writeback machinery) amortises over GB blocks
+    for g in range(GB):
+        _block(k, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf, tail)
+
+
+def _block(k, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf, tail):
+    q = q_ref[g * QB:(g + 1) * QB]                  # [QB, 3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    n = meta_ref[0, g, 0, 0]                        # candidate count
 
     def round_body(r, carry):
         bkey, bidx = carry                          # [QB, k] int32 each
         tids = []
         for s in range(RT):
             i = r * RT + s
-            tid = meta_ref[0, (i + 1) >> 7, (i + 1) & 127]
+            tid = meta_ref[0, g, (i + 1) >> 7, (i + 1) & 127]
             tids.append(tid)
 
             @pl.when(i < n)
@@ -122,8 +128,8 @@ def _kernel(k: int, meta_ref, q_ref, p_hbm, ok_ref, oi_ref, kbuf, p_scr,
     bkey0 = SENT | (CW + jax.lax.broadcasted_iota(jnp.int32, (QB, k), 1))
     bidx0 = jnp.zeros((QB, k), jnp.int32)
     bkey, bidx = jax.lax.fori_loop(0, n_rounds, round_body, (bkey0, bidx0))
-    ok_ref[:] = bkey
-    oi_ref[:] = bidx
+    ok_ref[g * QB:(g + 1) * QB] = bkey
+    oi_ref[g * QB:(g + 1) * QB] = bidx
 
 
 def build_point_tables(points):
@@ -149,6 +155,7 @@ def build_point_tables(points):
     tiles = pts.reshape(T, PTS, 3)
     return {
         "pts_t": jnp.transpose(tiles, (0, 2, 1)),   # [T, 3, PTS]
+        "pts_sorted": pts,                          # [T*PTS, 3] (padded)
         "t_lo": tiles.min(1),                       # [T, 3]
         "t_hi": tiles.max(1),                       # pad rows only loosen lb
         "perm": perm,
@@ -157,9 +164,11 @@ def build_point_tables(points):
     }
 
 
-@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries"))
+@partial(jax.jit, static_argnames=("k", "radius2", "sort_queries",
+                                   "remap_indices"))
 def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
-                      sort_queries: bool = True, tables=None):
+                      sort_queries: bool = True, tables=None,
+                      remap_indices: bool = True):
     """Radius-bounded k-NN: (d2 [M, k] ascending, idx [M, k]).
 
     Every neighbour with d2 < radius2 is found (up to 2^-11-relative
@@ -172,7 +181,10 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     ``sort_queries=False`` skips the internal Morton sort + unsort of the
     queries (caller already ordered them spatially). ``tables``: per-frame
     ``build_point_tables(points)`` output; pass it to skip the per-call
-    point sort/tiling.
+    point sort/tiling. ``remap_indices=False`` returns indices into the
+    Morton-SORTED point order (``tables["perm"]``) — the [M, k] remap
+    gather runs at the TPU gather floor (~30 ms at M=295k) while callers
+    can pre-permute their per-point arrays (P=1e4 rows) for free.
     """
     assert k <= 16
     M = queries.shape[0]
@@ -195,9 +207,10 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
         q = qf[qperm]
     else:
         q = qf
-    mpad = (-M) % QB
+    mpad = (-M) % (QB * GB)
     q = jnp.pad(q, ((0, mpad), (0, 0)), constant_values=2e9)
     NB = (M + mpad) // QB
+    NG = NB // GB
     qb = q.reshape(NB, QB, 3)
     q_lo = qb.min(1)
     q_hi = qb.max(1)
@@ -210,22 +223,22 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     cnt = cand.sum(1).astype(jnp.int32)
     # metadata row per block: slot 0 = count, slots 1..T = candidate tiles
     meta = jnp.concatenate([cnt[:, None], order], axis=1)
-    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NB, 8, 128)
+    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NG, GB, 8, 128)
 
     out = pl.pallas_call(
         partial(_kernel, k),
-        grid=(NB,),
+        grid=(NG,),
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, GB, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((QB, 3), lambda i: (i, 0),
+            pl.BlockSpec((GB * QB, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((QB, k), lambda i: (i, 0),
+            pl.BlockSpec((GB * QB, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((QB, k), lambda i: (i, 0),
+            pl.BlockSpec((GB * QB, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -243,7 +256,10 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     okey, oi = out
     d2 = jax.lax.bitcast_convert_type(okey[:M] & ~LMASK, jnp.float32)
     oi = oi[:M]
-    idx = jnp.concatenate([perm, jnp.zeros(ppad, perm.dtype)])[oi]
+    if remap_indices:
+        idx = jnp.concatenate([perm, jnp.zeros(ppad, perm.dtype)])[oi]
+    else:
+        idx = oi
     d2 = jnp.maximum(d2, 0.0)
 
     if sort_queries:

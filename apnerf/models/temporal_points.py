@@ -381,13 +381,35 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         src = src[mperm]
         act_ok = act_ok[mperm]
 
+    tables = occ_info.get("knn_tables")
     d2, idx = knn(jax.lax.stop_gradient(q),
                   jax.lax.stop_gradient(t_hat_pcd), k=K,
                   radius2=float(query_radius), assume_sorted=True,
-                  point_tables=occ_info.get("knn_tables"))
+                  point_tables=tables, sorted_point_idx=tables is not None)
     # radius cutoff on the kth neighbour (squared-distance semantics of the
     # reference, lib/temporalpoints.py:440)
     nn_ok = (d2[:, -1] <= query_radius) & act_ok
+
+    # sorted-index mode: ``idx`` indexes the Morton-SORTED point order, so
+    # the [M_act, K] index-remap gather (runs at the TPU gather floor,
+    # ~30 ms/chunk) is replaced by permuting the per-point arrays once
+    # (P = 1e4 rows, free). Padding rows absorb empty slots. The permute is
+    # a differentiable gather — gradients still reach the warp/params.
+    if tables is not None:
+        perm = tables["perm"]
+        Pp = tables["pts_sorted"].shape[0]
+
+        def permute(arr):
+            out = arr[perm]
+            pad = Pp - out.shape[0]
+            if pad:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((pad, *out.shape[1:]), out.dtype)], 0)
+            return out
+    else:
+        def permute(arr):
+            return arr
+    nbr_src = permute(t_hat_pcd)
 
     if cfg.no_view_dir:
         views_emb = None
@@ -402,8 +424,9 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
 
     from .tineuvox import apply_rgbnet
     interval = cfg.stepsize * cfg.voxel_size_ratio
-    sig_all = (state["mean_min_distance"]
-               * jnp.maximum(params["direct_eps"], 0.0))
+    sig_all = permute(state["mean_min_distance"]
+                      * jnp.maximum(params["direct_eps"], 0.0))
+    inv_rot_src = permute(inv_rot)
 
     # bf16 aggregation (reference analogue: --step_to_half, run.py:898-899):
     # the [M_act, K, feat_dim] neighbour-feature gather + feat_net are
@@ -411,12 +434,14 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     # matmuls accumulate fp32 on the MXU; geometry (distances, rotations,
     # weights) stays fp32.
     if cfg.agg_bf16:
-        feat_src = params["canonical_feat"].astype(jnp.bfloat16)
+        feat_src = permute(params["canonical_feat"].astype(jnp.bfloat16))
         featnet_p = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), params["feat_net"])
     else:
-        feat_src = params["canonical_feat"]
+        feat_src = permute(params["canonical_feat"])
         featnet_p = params["feat_net"]
+
+    lbs_src = None if lbs_weights is None else permute(lbs_weights)
 
     def block_fn(args):
         """Neighbour aggregation for one flat block of samples.
@@ -426,12 +451,12 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         bounds the padded live set.
         """
         qb, idxb, veb = args
-        nbr = t_hat_pcd[idxb]                              # [blk, K, 3]
+        nbr = nbr_src[idxb]                                # [blk, K, 3]
         rel_p = qb[:, None, :] - nbr                       # differentiable
         to_nn = (rel_p ** 2).sum(-1)                       # [blk, K]
         w = 1.0 / (to_nn + cfg.eps)
         w = w / w.sum(-1, keepdims=True)
-        rot_k = inv_rot[idxb]                              # [blk, K, 3, 3]
+        rot_k = inv_rot_src[idxb]                          # [blk, K, 3, 3]
         rel_canon = jnp.einsum("mkab,mkb->mka", rot_k, rel_p, precision=HIGH)
         rel_emb = encoding.poc_fre(rel_canon,
                                    encoding.poc_freqs(cfg.posbase_pe))
@@ -453,12 +478,12 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
             w_dir = jnp.exp(-(to_nn ** 2)
                             / (2.0 * sig_all[idxb] ** 2 + 1e-12))
             w_dir_col = w_dir / (w_dir.sum(-1, keepdims=True) + 1e-12)
-            a_k = jnp.clip(params["canonical_alpha"], 0, 1)[idxb]
-            c_k = jnp.clip(params["canonical_rgbs"], 0, 1)[idxb]
+            a_k = permute(jnp.clip(params["canonical_alpha"], 0, 1))[idxb]
+            c_k = permute(jnp.clip(params["canonical_rgbs"], 0, 1))[idxb]
             res["alpha_direct"] = (w_dir / K * a_k).sum(-1)
             res["rgb_direct"] = (w_dir_col[..., None] * c_k).sum(1)
         if render_weights and lbs_weights is not None:
-            lw = lbs_weights[idxb]                         # [blk, K, J]
+            lw = lbs_src[idxb]                             # [blk, K, J]
             res["lbs_w"] = (lw * w[..., None]).sum(1)
         return res
 

@@ -87,9 +87,10 @@ def _knn_block(queries, pts_tiles, k: int, tile: int):
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "q_tile", "radius2",
-                                   "assume_sorted"))
+                                   "assume_sorted", "sorted_point_idx"))
 def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
-        radius2=None, assume_sorted: bool = False, point_tables=None):
+        radius2=None, assume_sorted: bool = False, point_tables=None,
+        sorted_point_idx: bool = False):
     """K nearest points for each query, tiled over both operands.
 
     On TPU this dispatches to the fused Pallas kernel
@@ -114,7 +115,8 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
             return knn_radius_pallas(queries, points, k=k,
                                      radius2=float(radius2),
                                      sort_queries=not assume_sorted,
-                                     tables=point_tables)
+                                     tables=point_tables,
+                                     remap_indices=not sorted_point_idx)
         from ..kernels.knn_pallas import knn_pallas_sorted
         return knn_pallas_sorted(queries, points, k=k, radius2=radius2,
                                  sort_queries=not assume_sorted)
