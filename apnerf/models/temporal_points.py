@@ -358,13 +358,19 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     M_act = int(M_full * cfg.active_fraction)
     M_act = max(1024, ((M_act + 1023) // 1024) * 1024)
     M_act = min(M_act, M_full)
-    vflat = valid.reshape(M_full)
+    # depth-major selection: when the static budget is smaller than the
+    # number of valid samples, drop the DEEPEST samples of every ray
+    # uniformly (transposed [B, R] scan order) instead of whole trailing
+    # rays (ray-major order would black out the chunk tail)
+    vflat = valid.T.reshape(M_full)
     pos = jnp.cumsum(vflat) - 1
     keep = vflat & (pos < M_act)
     dest = jnp.where(keep, pos, M_act)
+    flat_id = jnp.arange(M_full, dtype=jnp.int32)
+    ray_r = flat_id % R                                  # transposed layout
+    dep_b = flat_id // R
     src = jnp.full((M_act + 1,), M_full, jnp.int32)
-    src = src.at[dest].set(jnp.arange(M_full, dtype=jnp.int32),
-                           mode="drop")[:M_act]
+    src = src.at[dest].set(ray_r * B + dep_b, mode="drop")[:M_act]
     act_ok = src < M_full                                # filled slots
     q_pad = jnp.concatenate([q_full, jnp.full((1, 3), 1e9)], 0)
     q = q_pad[src]                                       # [M_act, 3]
