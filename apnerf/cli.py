@@ -125,7 +125,13 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
                 cfg.pcd_model_and_render.skeleton_density_threshold),
             bone_length=float(cfg.pcd_model_and_render.bone_length),
             canonical_pcd_num=float(
-                cfg.pcd_model_and_render.canonical_pcd_num))
+                cfg.pcd_model_and_render.canonical_pcd_num),
+            # ZJU subjects can use the hardcoded SMPL joint prior
+            # (reference run.py:1215-1231, opt-in via config)
+            smpl_skeleton_datadir=(
+                str(cfg.data.datadir)
+                if bool(cfg.pcd_model_and_render.get("smpl_skeleton", False))
+                else None))
         scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
         tb_path = os.path.join("./logs/tensorboard",
                                os.path.basename(os.path.normpath(save_path)))

@@ -49,8 +49,12 @@ def export_point_cloud(params, model_cfg: tineuvox.TiNeuVoxConfig, out_dir,
                        pcd_density_threshold=0.05,
                        skeleton_density_threshold=0.05,
                        bone_length=10.0, canonical_pcd_num=1e4,
-                       overwrite=False):
-    """Returns dict with 'canonical' and 'skeleton' payloads; writes pickles."""
+                       overwrite=False, smpl_skeleton_datadir=None):
+    """Returns dict with 'canonical' and 'skeleton' payloads; writes pickles.
+
+    ``smpl_skeleton_datadir``: when set (ZJU subjects), try the hardcoded
+    SMPL joint prior instead of the automatic skeletonizer (the reference's
+    disabled ``smpl_skeleton`` branch, run.py:1215-1231)."""
     pcd_dir = os.path.join(out_dir, "pcds")
     os.makedirs(pcd_dir, exist_ok=True)
     can_path = os.path.join(pcd_dir, "canonical.pkl")
@@ -131,8 +135,15 @@ def export_point_cloud(params, model_cfg: tineuvox.TiNeuVoxConfig, out_dir,
     write_pcd(os.path.join(pcd_dir, "canonical.pcd"), points, rgb_pts)
 
     # skeleton from the (possibly different) skeleton threshold
-    binary = preprocess_volume(alpha, skeleton_density_threshold, sigma=0)
-    skeleton = create_skeleton(binary, grid_xyz, bone_length=bone_length)
+    skeleton = None
+    if smpl_skeleton_datadir is not None:
+        from ..kinematics.zju_skeletons import smpl_skeleton_for
+        skeleton = smpl_skeleton_for(smpl_skeleton_datadir)
+        if skeleton is not None:
+            print("export: using SMPL joint prior for the skeleton")
+    if skeleton is None:
+        binary = preprocess_volume(alpha, skeleton_density_threshold, sigma=0)
+        skeleton = create_skeleton(binary, grid_xyz, bone_length=bone_length)
     with open(skel_path, "wb") as f:
         pickle.dump(skeleton, f)
     write_pcd(os.path.join(pcd_dir, "skeleton.pcd"),

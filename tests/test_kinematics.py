@@ -139,3 +139,17 @@ def test_weight_from_bones_softmax():
     np.testing.assert_allclose(w.sum(1), 1.0, rtol=1e-6)
     assert w[0, 0] > w[0, 1]   # first point closer to bone 0
     assert w[1, 1] > w[1, 0]
+
+
+def test_zju_subject_joint_tables():
+    """Per-subject SMPL joint tables resolve by subject id and have the
+    documented shape/topology (reference zju_skeletons.py:11-147)."""
+    from apnerf.kinematics import zju_skeletons as z
+    assert set(z.SUBJECT_JOINTS) == {"336", "377", "381", "384", "387"}
+    for j in z.SUBJECT_JOINTS.values():
+        assert j.shape == (24, 3) and j.dtype == np.float32
+    sk = z.smpl_skeleton_for("/data/zju/377/cache_train.pickle")
+    assert sk is not None
+    np.testing.assert_array_equal(sk["joints"], z.SUBJECT_JOINTS["377"])
+    assert len(sk["bones"]) == 23
+    assert z.smpl_skeleton_for("/data/zju/999/cache_train.pickle") is None
