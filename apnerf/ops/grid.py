@@ -80,19 +80,22 @@ def _corner_gather(dims, grid_flat, w, lin, lin_ext):
 
 
 def _corner_gather_fwd(dims, grid_flat, w, lin, lin_ext):
-    return _corner_gather(dims, grid_flat, w, lin, lin_ext), (
-        grid_flat, w, lin, lin_ext)
+    # save the gathered corner values: re-gathering them in the backward
+    # costs another 8*M random rows at the TPU gather floor (~0.15 s/step
+    # at stage-1 scale); the [M, 8, C] residual trades ~600 MB of HBM for it
+    vals = jnp.stack([grid_flat[lin[:, k]] for k in range(8)], axis=1)
+    out = (vals * w[:, :, None]).sum(1)
+    return out, (vals, w, lin, lin_ext)
 
 
 def _corner_gather_bwd(dims, res, g):
-    grid_flat, w, lin, lin_ext = res
+    vals, w, lin, lin_ext = res
     sx, sy, sz = dims
-    C = grid_flat.shape[1]
+    C = vals.shape[-1]
     M = w.shape[0]
 
-    # d/dw: per-corner inner products
-    dw = jnp.stack(
-        [(grid_flat[lin[:, k]] * g).sum(-1) for k in range(8)], axis=1)
+    # d/dw: per-corner inner products (from saved values, no gather)
+    dw = (vals * g[:, None, :]).sum(-1)
 
     # d/dgrid: base-cell binned accumulation
     upd = (g[:, None, :] * w[:, :, None]).reshape(M, 8 * C)
@@ -120,9 +123,11 @@ def _corner_gather_bwd(dims, res, g):
              + jax.lax.slice_in_dim(a, 0, sx, axis=0)[..., 1, :])
         dgrid = a.reshape(-1, C)
     else:
-        dgrid = jnp.zeros_like(grid_flat).at[lin.T.reshape(-1)].add(
+        # grid_flat is always cast to float32 by _interp_at_indices
+        dgrid = jnp.zeros((sx * sy * sz, C), jnp.float32).at[
+            lin.T.reshape(-1)].add(
             upd.reshape(M, 8, C).transpose(1, 0, 2).reshape(-1, C))
-    return dgrid.astype(grid_flat.dtype), dw, None, None
+    return dgrid, dw, None, None
 
 
 _corner_gather.defvjp(_corner_gather_fwd, _corner_gather_bwd)

@@ -52,7 +52,9 @@ def main():
     occ = compaction.build_occupancy_grid(jnp.asarray(blob))
     occ = compaction.build_occupancy_grid(occ)
     frac = 0.25
-    budget = max(4096, int(N_rand * n_steps * frac) // 1024 * 1024)
+    budget = int(N_rand * n_steps * frac)
+    # same compile-safe rounding as stage1.build_segment (2^17 multiples)
+    budget = max(4096, budget // 131072 * 131072 or budget // 1024 * 1024)
     import os as _os
     if _os.environ.get("BUDGET_OVERRIDE"): budget = int(_os.environ["BUDGET_OVERRIDE"])
     print(f"n_steps={n_steps} budget={budget} "
