@@ -415,7 +415,6 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     else:
         def permute(arr):
             return arr
-    nbr_src = permute(t_hat_pcd)
 
     if cfg.no_view_dir:
         views_emb = None
@@ -432,7 +431,15 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     interval = cfg.stepsize * cfg.voxel_size_ratio
     sig_all = permute(state["mean_min_distance"]
                       * jnp.maximum(params["direct_eps"], 0.0))
-    inv_rot_src = permute(inv_rot)
+    # pack [pos(3) | inv_rot(9)] per point: one 48-byte-row gather per
+    # neighbour instead of two (the TPU gather floor is per-ROW, not bytes)
+    geo_src = jnp.concatenate(
+        [permute(t_hat_pcd),
+         permute(inv_rot.reshape(inv_rot.shape[0], 9))], axis=-1)
+    # with bf16 aggregation, go further: bitcast the fp32 geometry into
+    # bf16 lane pairs and append the bf16 features — ONE row gather for
+    # everything a neighbour contributes (exact: bitcast round-trips)
+    pack_all = cfg.agg_bf16
 
     # bf16 aggregation (reference analogue: --step_to_half, run.py:898-899):
     # the [M_act, K, feat_dim] neighbour-feature gather + feat_net are
@@ -446,6 +453,10 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     else:
         feat_src = permute(params["canonical_feat"])
         featnet_p = params["feat_net"]
+    if pack_all:
+        geo_bf = jax.lax.bitcast_convert_type(
+            geo_src, jnp.bfloat16).reshape(geo_src.shape[0], 24)
+        packed_src = jnp.concatenate([geo_bf, feat_src], axis=-1)
 
     lbs_src = None if lbs_weights is None else permute(lbs_weights)
 
@@ -457,17 +468,25 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         bounds the padded live set.
         """
         qb, idxb, veb = args
-        nbr = nbr_src[idxb]                                # [blk, K, 3]
+        if pack_all:
+            pk = packed_src[idxb]                          # [blk, K, 24+F]
+            geo = jax.lax.bitcast_convert_type(
+                pk[..., :24].reshape(*pk.shape[:2], 12, 2), jnp.float32)
+            feat_k = pk[..., 24:]
+        else:
+            geo = geo_src[idxb]                            # [blk, K, 12]
+            feat_k = feat_src[idxb]
+        nbr = geo[..., :3]
         rel_p = qb[:, None, :] - nbr                       # differentiable
         to_nn = (rel_p ** 2).sum(-1)                       # [blk, K]
         w = 1.0 / (to_nn + cfg.eps)
         w = w / w.sum(-1, keepdims=True)
-        rot_k = inv_rot_src[idxb]                          # [blk, K, 3, 3]
+        rot_k = geo[..., 3:].reshape(*geo.shape[:2], 3, 3)
         rel_canon = jnp.einsum("mkab,mkb->mka", rot_k, rel_p, precision=HIGH)
         rel_emb = encoding.poc_fre(rel_canon,
                                    encoding.poc_freqs(cfg.posbase_pe))
         in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
-        feat_in = [rel_emb.astype(in_dt), feat_src[idxb]]
+        feat_in = [rel_emb.astype(in_dt), feat_k]
         if pose_embedding is not None:
             pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, -1),
                                   (*rel_emb.shape[:2], pose_embedding.size))
