@@ -358,34 +358,65 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     M_act = int(M_full * cfg.active_fraction)
     M_act = max(1024, ((M_act + 1023) // 1024) * 1024)
     M_act = min(M_act, M_full)
-    # depth-major selection: when the static budget is smaller than the
-    # number of valid samples, drop the DEEPEST samples of every ray
-    # uniformly (transposed [B, R] scan order) instead of whole trailing
-    # rays (ray-major order would black out the chunk tail)
-    vflat = valid.T.reshape(M_full)
-    pos = jnp.cumsum(vflat) - 1
-    keep = vflat & (pos < M_act)
-    dest = jnp.where(keep, pos, M_act)
-    flat_id = jnp.arange(M_full, dtype=jnp.int32)
-    ray_r = flat_id % R                                  # transposed layout
-    dep_b = flat_id // R
-    src = jnp.full((M_act + 1,), M_full, jnp.int32)
-    src = src.at[dest].set(ray_r * B + dep_b, mode="drop")[:M_act]
-    act_ok = src < M_full                                # filled slots
-    q_pad = jnp.concatenate([q_full, jnp.full((1, 3), 1e9)], 0)
-    q = q_pad[src]                                       # [M_act, 3]
-
-    # Morton-order the active slots so the KNN kernel's query blocks are
-    # spatially compact WITHOUT a per-call sort+unsort inside the kernel:
-    # everything downstream indexes through ``src``, so permuting
-    # (q, src, act_ok) together is semantics-free. Empty slots (q = 1e9)
-    # clip to the max code and land at the tail.
     from ..ops.knn import _tpu_default, morton_codes
-    if _tpu_default():
-        mperm = jnp.argsort(morton_codes(q, bb_min, bb_max))
-        q = q[mperm]
-        src = src[mperm]
-        act_ok = act_ok[mperm]
+    c = cfg.coarse_stride
+    q_pad = jnp.concatenate([q_full, jnp.full((1, 3), 1e9)], 0)
+    if B % c == 0 and M_act % c == 0:
+        # ---- group-level compaction + Morton ordering: cumsum / scatter /
+        # morton / argsort run over R*B/c GROUPS (the sampler budgets whole
+        # coarse groups anyway), cutting the sort to ~73k keys instead of
+        # ~295k samples. Depth-major ([Bc, R] scan) drop order as below.
+        Bc = B // c
+        M_grp = R * Bc
+        G_act = M_act // c
+        gvalid = valid.reshape(R, Bc, c).any(-1)             # [R, Bc]
+        gv = gvalid.T.reshape(M_grp)
+        pos = jnp.cumsum(gv) - 1
+        keep = gv & (pos < G_act)
+        dest = jnp.where(keep, pos, G_act)
+        gid = jnp.arange(M_grp, dtype=jnp.int32)
+        gsrc = jnp.full((G_act + 1,), M_grp, jnp.int32)
+        gsrc = gsrc.at[dest].set((gid % R) * Bc + gid // R,
+                                 mode="drop")[:G_act]
+        # group representative = min over member positions (1e9 pads lose)
+        grep = pts.reshape(M_grp, c, 3).min(1)
+        grep = jnp.concatenate([grep, jnp.full((1, 3), 1e9)], 0)[gsrc]
+        gperm = jnp.argsort(morton_codes(grep, bb_min, bb_max))
+        gsrc = gsrc[gperm]
+        # expand groups to samples; empty groups map to the pad row
+        ray_of_g = jnp.minimum(gsrc // Bc, R - 1)
+        base = ray_of_g * B + (gsrc % Bc) * c
+        src = (jnp.where(gsrc < M_grp, base, M_full)[:, None]
+               + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(M_act)
+        src = jnp.minimum(src, M_full)
+        q = q_pad[src]                                       # [M_act, 3]
+        # member validity: invalid member slots carry the 1e9 sentinel
+        act_ok = q[:, 0] < 1e8
+    else:
+        # depth-major selection: when the static budget is smaller than the
+        # number of valid samples, drop the DEEPEST samples of every ray
+        # uniformly (transposed [B, R] scan order) instead of whole
+        # trailing rays (ray-major would black out the chunk tail)
+        vflat = valid.T.reshape(M_full)
+        pos = jnp.cumsum(vflat) - 1
+        keep = vflat & (pos < M_act)
+        dest = jnp.where(keep, pos, M_act)
+        flat_id = jnp.arange(M_full, dtype=jnp.int32)
+        ray_r = flat_id % R                                  # transposed
+        dep_b = flat_id // R
+        src = jnp.full((M_act + 1,), M_full, jnp.int32)
+        src = src.at[dest].set(ray_r * B + dep_b, mode="drop")[:M_act]
+        act_ok = src < M_full                                # filled slots
+        q = q_pad[src]                                       # [M_act, 3]
+        if _tpu_default():
+            # Morton-order the active slots so the KNN kernel's query
+            # blocks are spatially compact without per-call kernel sorts;
+            # downstream indexes through ``src``, so permuting
+            # (q, src, act_ok) together is semantics-free.
+            mperm = jnp.argsort(morton_codes(q, bb_min, bb_max))
+            q = q[mperm]
+            src = src[mperm]
+            act_ok = act_ok[mperm]
 
     tables = occ_info.get("knn_tables")
     d2, idx = knn(jax.lax.stop_gradient(q),
