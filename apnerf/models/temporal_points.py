@@ -389,9 +389,14 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         src = (jnp.where(gsrc < M_grp, base, M_full)[:, None]
                + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(M_act)
         src = jnp.minimum(src, M_full)
-        q = q_pad[src]                                       # [M_act, 3]
+        # gather sample positions at GROUP granularity too (the row id in
+        # the [M_full/c, 3c] view is exactly gsrc): 73k rows, not 295k
+        q_groups = jnp.concatenate(
+            [q_full.reshape(M_grp, 3 * c), jnp.full((1, 3 * c), 1e9)], 0)
+        q = q_groups[jnp.minimum(gsrc, M_grp)].reshape(M_act, 3)
         # member validity: invalid member slots carry the 1e9 sentinel
         act_ok = q[:, 0] < 1e8
+        group_expand = (ray_of_g, c)
     else:
         # depth-major selection: when the static budget is smaller than the
         # number of valid samples, drop the DEEPEST samples of every ray
@@ -417,6 +422,7 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
             q = q[mperm]
             src = src[mperm]
             act_ok = act_ok[mperm]
+        group_expand = None
 
     tables = occ_info.get("knn_tables")
     d2, idx = knn(jax.lax.stop_gradient(q),
@@ -453,6 +459,14 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         ve = encoding.poc_fre(state["frozen_view_dir"],
                               encoding.poc_freqs(cfg.viewbase_pe))
         views_emb = jnp.broadcast_to(ve[None], (M_act, ve.shape[-1]))
+    elif group_expand is not None:
+        # per-GROUP view gather broadcast over members (73k rows, not 295k)
+        ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
+        ray_of_g, cc = group_expand
+        veg = ve[ray_of_g]                                 # [G_act, C]
+        views_emb = jnp.broadcast_to(
+            veg[:, None, :], (veg.shape[0], cc, ve.shape[-1])).reshape(
+            M_act, ve.shape[-1])
     else:
         ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
         ray_of = jnp.minimum(src // B, R - 1)
