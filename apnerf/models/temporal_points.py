@@ -58,7 +58,7 @@ class TemporalPointsConfig:
     active_fraction: float = 0.375    # global budget of samples fed to KNN
     occ_res: int = 64                 # occupancy-grid resolution per axis
     agg_bf16: bool = True             # half-width neighbour aggregation
-    coarse_stride: int = 4            # steps per occupancy-tested group
+    coarse_stride: int = 8            # steps per occupancy-tested group
 
     @property
     def t_dim(self):
