@@ -180,8 +180,12 @@ def load_subject_joints(datadir: str):
             joints = np.load(cand).astype(np.float32)
             assert joints.shape == (24, 3)
             return joints
+    # match the subject id as a standalone number (not a bare substring —
+    # a path containing e.g. "20250381" must not select subject 381)
+    import re
     for sid, joints in SUBJECT_JOINTS.items():
-        if sid in os.path.basename(base) or sid in datadir:
+        if re.search(r"(?<!\d)" + sid + r"(?!\d)", datadir):
+            print(f"zju_skeletons: matched SMPL joint table for subject {sid}")
             return joints
     return None
 

@@ -50,12 +50,15 @@ class TemporalPointsConfig:
     no_view_dir: bool = False
     frozen_view_dir: bool = False
     over_parameterized_rot: bool = True
+    avg_procrustes: bool = False      # procrustes re-orthonormalise frames
+    re_init_mlps: bool = False        # fresh heads instead of backbone copy
     feat_depth: int = 4
     pose_embedding_dim: int = 0
     eps: float = 1e-6
     sample_budget: int = 192          # static per-ray samples after compaction
     max_steps: int = 512              # static pre-compaction sample count
     active_fraction: float = 0.375    # global budget of samples fed to KNN
+    pass_fraction: float = 0.375      # of active budget, radius-cutoff passers
     occ_res: int = 64                 # occupancy-grid resolution per axis
     agg_bf16: bool = True             # half-width neighbour aggregation
     coarse_stride: int = 8            # steps per occupancy-tested group
@@ -77,6 +80,39 @@ class TemporalPointsConfig:
         return point_warper.WarpConfig(
             n_joints=self.n_joints, t_dim=self.t_dim,
             over_parameterized_rot=self.over_parameterized_rot)
+
+
+def _reinit_linear_tree(key, tree):
+    """Re-sample every linear layer in a params pytree in place of the
+    copied values — torch ``reset_parameters`` semantics (uniform
+    ±1/sqrt(fan_in) for weight and bias, matching ops.nn.init_linear)."""
+    leaves_w = []
+
+    def collect(t):
+        if isinstance(t, dict):
+            if "w" in t:
+                leaves_w.append(t)
+            else:
+                for v in t.values():
+                    collect(v)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                collect(v)
+
+    import copy
+    tree = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, tree))
+    collect(tree)
+    keys = jax.random.split(key, max(1, len(leaves_w)))
+    for lk, layer in zip(keys, leaves_w):
+        din, dout = layer["w"].shape
+        bound = 1.0 / np.sqrt(din)
+        kw, kb = jax.random.split(lk)
+        layer["w"] = jax.random.uniform(kw, (din, dout), jnp.float32,
+                                        -bound, bound)
+        if "b" in layer:
+            layer["b"] = jax.random.uniform(kb, (dout,), jnp.float32,
+                                            -bound, bound)
+    return tree
 
 
 def init_params(key, cfg: TemporalPointsConfig, canonical_pcd, joints, bones,
@@ -121,6 +157,12 @@ def init_params(key, cfg: TemporalPointsConfig, canonical_pcd, joints, bones,
                                                   tineuvox_params["densitynet"])
     params["timenet"] = jax.tree_util.tree_map(jnp.asarray,
                                                tineuvox_params["timenet"])
+    if cfg.re_init_mlps:
+        # fresh heads instead of the trained backbone copy (reference
+        # ``weight_reset`` / reset_parameters, lib/temporalpoints.py:137-146)
+        kre = jax.random.split(ks[4], 3)
+        for i, name in enumerate(("rgbnet", "densitynet", "timenet")):
+            params[name] = _reinit_linear_tree(kre[i], params[name])
     if cfg.pose_embedding_dim > 0:
         pin = J * cfg.pts_ch
         dims = ([pin, pin // 2] + [pin // 2] * (cfg.feat_depth - 2)
@@ -183,7 +225,8 @@ def warp(params, cfg: TemporalPointsConfig, state, t=None, rot_params=None):
         params["forward_warp"], cfg.warp_cfg, state["tree"],
         state["canonical_pcd"], weights, params["joints"],
         t_embed=t_embed, rot_params=rot_params,
-        rot_mask=state["rot_mask"], sibling_mask=state["sibling_mask"])
+        rot_mask=state["rot_mask"], sibling_mask=state["sibling_mask"],
+        avg_procrustes=cfg.avg_procrustes)
     out["lbs_weights"] = weights
     return out
 
@@ -271,7 +314,25 @@ def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
         jc = jnp.arange(Sc, dtype=jnp.float32)
         tc = (jc * c + (c - 1) / 2.0) * stepdist
         pc = start[:, None, :] + unit_d[:, None, :] * tc[None, :, None]
-        hit = occupancy_lookup(occ, occ_cell, bbox_min, pc)   # [R, Sc]
+
+        # the centre test is conservative only when the group half-width
+        # fits inside the extra dilation cell: (c-1)/2*stepdist <= occ_cell.
+        # It holds at the defaults (occ_cell floored at sqrt(query_radius));
+        # when a caller's stepsize/coarse_stride/query_radius violate it,
+        # fall back to per-member occupancy (any over the c member samples)
+        # so groups the reference keeps are never pruned.
+        def centre_hit(_):
+            return occupancy_lookup(occ, occ_cell, bbox_min, pc)
+
+        def member_hit(_):
+            tm = (jc[:, None] * c
+                  + jnp.arange(c, dtype=jnp.float32)[None, :]) * stepdist
+            pm = (start[:, None, None, :]
+                  + unit_d[:, None, None, :] * tm[None, :, :, None])
+            return occupancy_lookup(occ, occ_cell, bbox_min, pm).any(-1)
+
+        coarse_ok = (c - 1) / 2.0 * stepdist <= occ_cell
+        hit = jax.lax.cond(coarse_ok, centre_hit, member_hit, operand=None)
         hit = hit & (jc[None, :] * c < n_steps[:, None])
         src_c = _compact_per_ray(hit, B // c)                 # [R, B/c]
         src = (src_c[:, :, None] * c
@@ -327,27 +388,16 @@ def prepare_occupancy(cfg: TemporalPointsConfig, state, t_hat_pcd,
     return info
 
 
-def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
-                  inv_rot, rays_o, rays_d, viewdirs, near, far,
-                  query_radius, pose_embedding=None, render_pcd_direct=False,
-                  render_weights=False, lbs_weights=None, calc_min_max=True,
-                  occ_info=None):
-    """KNN feature aggregation along rays (reference ``aggregate_pts``,
-    lib/temporalpoints.py:416-521), dense masked layout.
+def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max):
+    """Global active-sample compaction + Morton ordering.
 
-    Returns per-sample arrays shaped [R, B(, .)] plus the valid mask.
+    Maps the dense [R, B] sample layout to a static active budget
+    ``M_act`` of spatially ordered query slots. Returns
+    (q [M_act, 3], src [M_act] flat index into R*B, act_ok [M_act],
+    group_expand) — ``group_expand`` is (ray_of_group, stride) when the
+    compaction ran at coarse-group granularity, else None.
     """
-    R = rays_o.shape[0]
-    K = cfg.neighbours
-    if occ_info is None:
-        occ_info = prepare_occupancy(cfg, state, t_hat_pcd, query_radius,
-                                     calc_min_max)
-    bb_min, bb_max = occ_info["bb_min"], occ_info["bb_max"]
-    pts, valid, step_id = sample_rays_compact(cfg, rays_o, rays_d, near, far,
-                                              bb_min, bb_max,
-                                              occ=occ_info["occ"],
-                                              occ_cell=occ_info["occ_cell"])
-    B = cfg.sample_budget
+    R, B = valid.shape
     M_full = R * B
     q_full = pts.reshape(M_full, 3)
 
@@ -423,6 +473,36 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
             src = src[mperm]
             act_ok = act_ok[mperm]
         group_expand = None
+    return q, src, act_ok, group_expand
+
+
+def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
+                  inv_rot, rays_o, rays_d, viewdirs, near, far,
+                  query_radius, pose_embedding=None, render_pcd_direct=False,
+                  render_weights=False, lbs_weights=None, calc_min_max=True,
+                  occ_info=None):
+    """KNN feature aggregation along rays (reference ``aggregate_pts``,
+    lib/temporalpoints.py:416-521), dense masked layout.
+
+    Returns per-sample arrays shaped [R, B(, .)] plus the valid mask.
+    """
+    R = rays_o.shape[0]
+    K = cfg.neighbours
+    if occ_info is None:
+        occ_info = prepare_occupancy(cfg, state, t_hat_pcd, query_radius,
+                                     calc_min_max)
+    bb_min, bb_max = occ_info["bb_min"], occ_info["bb_max"]
+    pts, valid, step_id = sample_rays_compact(cfg, rays_o, rays_d, near, far,
+                                              bb_min, bb_max,
+                                              occ=occ_info["occ"],
+                                              occ_cell=occ_info["occ_cell"])
+    B = cfg.sample_budget
+    M_full = R * B
+    M_act = int(M_full * cfg.active_fraction)
+    M_act = max(1024, ((M_act + 1023) // 1024) * 1024)
+    M_act = min(M_act, M_full)
+    q, src, act_ok, group_expand = compact_active(cfg, pts, valid,
+                                                  bb_min, bb_max)
 
     tables = occ_info.get("knn_tables")
     d2, idx = knn(jax.lax.stop_gradient(q),
@@ -430,8 +510,39 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
                   radius2=float(query_radius), assume_sorted=True,
                   point_tables=tables, sorted_point_idx=tables is not None)
     # radius cutoff on the kth neighbour (squared-distance semantics of the
-    # reference, lib/temporalpoints.py:440)
+    # reference, lib/temporalpoints.py:440). The Pallas kernel's d2 are
+    # selection keys truncated to 11 mantissa bits (<= exact), so this
+    # preliminary test can accept rows whose true kth distance is up to
+    # 2^-11 relative beyond the radius; the aggregation below recomputes
+    # exact distances anyway ("kd2"), and the final cutoff uses them.
     nn_ok = (d2[:, -1] <= query_radius) & act_ok
+
+    # ---- pass-compaction: only ~25% of active samples survive the radius
+    # cutoff on real workloads, and everything downstream (the [*, K]
+    # packed-row gathers — the dominant gather-floor term — and the
+    # aggregation MLP) is per-sample. Compact the survivors to a static
+    # pass budget so the expensive stage runs on M_pass, not M_act, slots.
+    # Morton order is preserved (monotone destinations).
+    M_pass = int(M_act * cfg.pass_fraction)
+    M_pass = max(1024, ((M_pass + 1023) // 1024) * 1024)
+    M_pass = min(M_pass, M_act)
+    if M_pass < M_act:
+        ppos = jnp.cumsum(nn_ok) - 1
+        keep = nn_ok & (ppos < M_pass)
+        pdest = jnp.where(keep, ppos, M_pass)
+        psrc = jnp.full((M_pass + 1,), M_act, jnp.int32)
+        psrc = psrc.at[pdest].set(jnp.arange(M_act, dtype=jnp.int32),
+                                  mode="drop")[:M_pass]
+        pass_ok = psrc < M_act
+        psl = jnp.minimum(psrc, M_act - 1)
+        q = q[psl]
+        idx = idx[psl]
+        src = jnp.where(pass_ok, src[psl], M_full)
+        n_slots = M_pass
+    else:
+        pass_ok = nn_ok
+        src = jnp.where(nn_ok, src, M_full)
+        n_slots = M_act
 
     # sorted-index mode: ``idx`` indexes the Morton-SORTED point order, so
     # the [M_act, K] index-remap gather (runs at the TPU gather floor,
@@ -458,19 +569,13 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     elif state["frozen_view_dir"] is not None:
         ve = encoding.poc_fre(state["frozen_view_dir"],
                               encoding.poc_freqs(cfg.viewbase_pe))
-        views_emb = jnp.broadcast_to(ve[None], (M_act, ve.shape[-1]))
-    elif group_expand is not None:
-        # per-GROUP view gather broadcast over members (73k rows, not 295k)
-        ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
-        ray_of_g, cc = group_expand
-        veg = ve[ray_of_g]                                 # [G_act, C]
-        views_emb = jnp.broadcast_to(
-            veg[:, None, :], (veg.shape[0], cc, ve.shape[-1])).reshape(
-            M_act, ve.shape[-1])
+        views_emb = jnp.broadcast_to(ve[None], (n_slots, ve.shape[-1]))
     else:
+        # per-slot view gather from the per-ray table (post pass-compaction
+        # there are only ~M_pass slots, cheaper than any group broadcast)
         ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
         ray_of = jnp.minimum(src // B, R - 1)
-        views_emb = ve[ray_of]                             # [M_act, C]
+        views_emb = ve[ray_of]                             # [n_slots, C]
 
     from .tineuvox import apply_rgbnet
     interval = cfg.stepsize * cfg.voxel_size_ratio
@@ -543,7 +648,10 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         alpha = raw2alpha(density, cfg.act_shift, interval)
         rgb = jax.nn.sigmoid(apply_rgbnet(
             params["rgbnet"], h, None if veb is None else veb))
-        res = {"alpha": alpha, "rgb": rgb}
+        # exact kth-neighbour squared distance of the selected set: closes
+        # the quantization band of the kernel's selection keys so the radius
+        # cutoff is reference-exact for the selected neighbours
+        res = {"alpha": alpha, "rgb": rgb, "kd2": to_nn.max(-1)}
         if render_pcd_direct:
             w_dir = jnp.exp(-(to_nn ** 2)
                             / (2.0 * sig_all[idxb] ** 2 + 1e-12))
@@ -557,9 +665,15 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
             res["lbs_w"] = (lw * w[..., None]).sum(1)
         return res
 
-    blk = min(32768, M_act)
-    if M_act % blk == 0 and M_act > blk:
-        nb = M_act // blk
+    blk = min(32768, n_slots)
+    if n_slots % blk != 0 and n_slots % 1024 == 0:
+        # largest 1024-multiple block that divides n_slots (bounds the
+        # lane-padded [blk, K, 3] live set while keeping an even split)
+        units = n_slots // 1024
+        d = max(d for d in range(1, 33) if units % d == 0)
+        blk = d * 1024
+    if n_slots % blk == 0 and n_slots > blk:
+        nb = n_slots // blk
         args = (q.reshape(nb, blk, 3), idx.reshape(nb, blk, K),
                 None if views_emb is None
                 else views_emb.reshape(nb, blk, -1))
@@ -568,12 +682,14 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
                                  (args[0], args[1]))
         else:
             mapped = jax.lax.map(block_fn, args)
-        agg = {k: v.reshape(M_act, *v.shape[2:]) for k, v in mapped.items()}
+        agg = {k: v.reshape(n_slots, *v.shape[2:]) for k, v in mapped.items()}
     else:
         agg = block_fn((q, idx, views_emb))
 
-    # ---- scatter active results back to the dense [R, B] layout ------
-    dst = jnp.where(act_ok & nn_ok, src, M_full)
+    # ---- scatter passing results back to the dense [R, B] layout ------
+    # (src already points empty/failed slots at the M_full drop row; the
+    # exact kd2 recompute closes the kernel's quantization band)
+    dst = jnp.where(pass_ok & (agg["kd2"] <= query_radius), src, M_full)
 
     def scatter(x, width=None):
         shape = (M_full + 1,) if width is None else (M_full + 1, width)

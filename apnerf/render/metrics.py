@@ -53,6 +53,26 @@ def rgb_ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
 _LPIPS_CACHE = {}
 
 
+def lpips_metric_name(net_name="alex") -> str:
+    """The honest name of the LPIPS metric this environment computes.
+
+    Returns ``lpips_<net>`` when the official pipeline is available (torch
+    ``lpips`` package, or official weights via ``APNERF_LPIPS_WEIGHTS``);
+    otherwise ``lpips_rand_<net>`` — the seeded-random-feature fallback,
+    whose scores are self-consistent but NOT comparable to published LPIPS.
+    Loggers/tables must use this name so the two are never conflated."""
+    try:
+        import lpips as _  # noqa: F401
+        return f"lpips_{net_name}"
+    except ImportError:
+        pass
+    import os
+    path = os.environ.get("APNERF_LPIPS_WEIGHTS", "")
+    if path and os.path.exists(path):
+        return f"lpips_{net_name}"
+    return f"lpips_rand_{net_name}"
+
+
 def rgb_lpips(gt, im, net_name="alex"):
     """LPIPS perceptual distance (reference lib/utils.py:577-589).
 

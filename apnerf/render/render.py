@@ -132,10 +132,15 @@ def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
                 f.write(f"psnr: {np.mean(psnrs)}\n")
             if eval_ssim:
                 f.write(f"ssim: {np.mean(ssims)}\n")
+            # metric name is tagged honestly: "lpips_rand_*" when only the
+            # seeded-random-feature fallback is available (not comparable
+            # to published LPIPS numbers)
             if eval_lpips_vgg:
-                f.write(f"lpips_vgg: {np.mean(lp_v)}\n")
+                f.write(f"{metrics.lpips_metric_name('vgg')}: "
+                        f"{np.mean(lp_v)}\n")
             if eval_lpips_alex:
-                f.write(f"lpips_alex: {np.mean(lp_a)}\n")
+                f.write(f"{metrics.lpips_metric_name('alex')}: "
+                        f"{np.mean(lp_a)}\n")
 
     if savedir is not None:
         import imageio.v2 as imageio

@@ -228,13 +228,23 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         budget = None
         if occupancy_active:
             n_s = model_cfg.max_steps(stepsize)
-            budget = int(cfg_train["N_rand"]) * n_s * occ_frac
+            demanded = int(int(cfg_train["N_rand"]) * n_s * occ_frac)
             # round DOWN to a multiple of 2^17: the TPU compiler's regalloc
             # RET_CHECKs on some non-power-of-two budget shapes at 160^3
             # scale (569344 crashes, 524288 compiles); coarse rounding
             # keeps the shapes in the observed-safe family
-            budget = max(4096, int(budget) // 131072 * 131072 or
-                         int(budget) // 1024 * 1024)
+            budget = max(4096, demanded // 131072 * 131072 or
+                         demanded // 1024 * 1024)
+            # budget audit (mirrors stage-2's): the rounding must never
+            # silently shrink the active-sample budget on a new scene
+            trunc = budget < demanded
+            print(f"stage1: budget audit — active budget {budget} of "
+                  f"{demanded} demanded "
+                  f"({int(cfg_train['N_rand'])} rays x {n_s} steps x "
+                  f"{occ_frac:g} active_fraction)"
+                  + (f" — TRUNCATING {demanded - budget} samples "
+                     f"({100 * (1 - budget / demanded):.1f}%); raise "
+                     f"active_fraction to compensate" if trunc else " — ok"))
         step = make_train_step(model_cfg, cfg_train, optimizer, Ks_dev,
                                poses_dev, H, W, data_dict["near"],
                                data_dict["far"], bg,

@@ -51,6 +51,7 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
                      or min(192, max_steps))
     sample_budget = min(sample_budget, max_steps)
     active_fraction = float(cfg_model.get("active_fraction", 0.375))
+    pass_fraction = float(cfg_model.get("pass_fraction", 0.375))
     occ_res = int(cfg_model.get("occ_res", 64))
 
     mcfg = tp.TemporalPointsConfig(
@@ -67,9 +68,12 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         no_view_dir=tineuvox_cfg.no_view_dir,
         frozen_view_dir=frozen_view_dir is not None,
         over_parameterized_rot=bool(cfg_train.over_parameterized_rot),
+        avg_procrustes=bool(cfg_train.get("avg_procrustes", False)),
+        re_init_mlps=bool(cfg_train.get("re_init_mlps", False)),
         pose_embedding_dim=int(cfg_train.pose_embedding_dim),
         sample_budget=int(sample_budget), max_steps=int(max_steps),
-        active_fraction=active_fraction, occ_res=occ_res)
+        active_fraction=active_fraction, pass_fraction=pass_fraction,
+        occ_res=occ_res)
 
     key = jax.random.PRNGKey(seed)
     params = tp.init_params(key, mcfg, pcd, joints, bones,
@@ -208,11 +212,28 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
         per_ray = v.sum(1)
         m_act = max(1024, (int(v.size * mcfg.active_fraction) + 1023)
                     // 1024 * 1024)
+        m_act = min(m_act, v.size)
+        # pass budget: samples surviving the kth-neighbour radius cutoff
+        q, src, act_ok, _ = tp.compact_active(mcfg, pts, valid,
+                                              occ_info["bb_min"],
+                                              occ_info["bb_max"])
+        from ..ops.knn import knn as knn_fn
+        tables = occ_info.get("knn_tables")
+        d2p, _ = knn_fn(q, frame["xyz"], k=mcfg.neighbours,
+                        radius2=0.01, assume_sorted=True,
+                        point_tables=tables,
+                        sorted_point_idx=tables is not None)
+        n_pass = int(np.asarray((d2p[:, -1] <= 0.01) & act_ok).sum())
+        m_pass = max(1024, (int(m_act * mcfg.pass_fraction) + 1023)
+                     // 1024 * 1024)
+        m_pass = min(m_pass, m_act)
         print(f"stage2: budget audit — sample_budget {mcfg.sample_budget} "
               f"(per-ray demand p99 {int(np.percentile(per_ray, 99))}, "
               f"max {int(per_ray.max())}), active budget {m_act} vs "
               f"valid {int(v.sum())} "
               f"({'TRUNCATING' if v.sum() > m_act else 'ok'}), "
+              f"pass budget {m_pass} vs radius-passing {n_pass} "
+              f"({'TRUNCATING' if n_pass > m_pass else 'ok'}), "
               f"occ_res {mcfg.occ_res}")
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"stage2: budget audit skipped ({e})")

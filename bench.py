@@ -130,7 +130,59 @@ def main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s/chip",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "roofline": roofline(mcfg, n_chunks=len(chunks), chunk=CHUNK,
+                             dt_frame=dt),
     }))
+
+
+def roofline(mcfg, n_chunks, chunk, dt_frame):
+    """Analytic per-frame cost model vs chip limits (VERDICT r2 #7).
+
+    Counts the pipeline's gather rows, MXU FLOPs and HBM bytes from the
+    config (the gather-floor model of PERF.md), and reports the implied
+    fraction of each hardware limit the measured time achieves. The
+    dominant term tells whether the pipeline is near its floor or has
+    headroom. Limits (v5e): measured gather floor ~80M rows/s (PERF.md),
+    bf16 MXU peak ~197 TFLOP/s, HBM ~819 GB/s.
+    """
+    GATHER_ROWS_PER_S = 80e6
+    MXU_BF16 = 197e12
+    HBM_BPS = 819e9
+    R, B, K, F = chunk, mcfg.sample_budget, mcfg.neighbours, mcfg.feat_dim
+    c = mcfg.coarse_stride
+    S = mcfg.max_steps
+    M_act = int(R * B * mcfg.active_fraction)
+    M_act = max(1024, (M_act + 1023) // 1024 * 1024)
+    G_act = M_act // c
+    M_pass = int(M_act * mcfg.pass_fraction)
+    M_pass = max(1024, (M_pass + 1023) // 1024 * 1024)
+    M_pass = min(M_pass, M_act)
+    # gather rows per chunk: occupancy centre lookups, group q gathers,
+    # pass-compaction row gathers (q/idx/view), packed per-neighbour rows
+    # (the dominant term, at M_pass after the radius-cutoff compaction)
+    rows = R * (S // c) + G_act + 3 * M_pass + M_pass * K
+    # MXU flops per chunk: feat_net on every passing (sample, neighbour)
+    fin = F + mcfg.pts_ch + mcfg.pose_embedding_dim
+    feat_macs = fin * F + F * F * 3
+    head_macs = F * 1 + F * F + (F + mcfg.views_ch) * (F // 2) + (F // 2) * 3
+    flops = 2 * (M_pass * K * feat_macs + M_pass * head_macs)
+    # HBM bytes per chunk: packed neighbour rows (bf16: 24 geo + F feat
+    # lanes x 2B) + occupancy bytes + composite I/O (small)
+    bytes_ = M_pass * K * (24 + F) * 2 + R * (S // c) * 4 + R * B * 8
+    dt_chunk = dt_frame / n_chunks
+    return {
+        "per_chunk": {"gather_rows": rows, "mxu_flops": flops,
+                      "hbm_bytes": bytes_},
+        "floor_ms": {
+            "gather": round(rows / GATHER_ROWS_PER_S * 1e3, 2),
+            "mxu": round(flops / MXU_BF16 * 1e3, 2),
+            "hbm": round(bytes_ / HBM_BPS * 1e3, 2),
+        },
+        "measured_chunk_ms": round(dt_chunk * 1e3, 2),
+        "frac_of_floor": round(
+            max(rows / GATHER_ROWS_PER_S, flops / MXU_BF16,
+                bytes_ / HBM_BPS) / dt_chunk, 3),
+    }
 
 
 if __name__ == "__main__":

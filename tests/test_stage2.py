@@ -157,6 +157,162 @@ def test_simplify_skeleton_prunes():
     np.testing.assert_allclose(w.sum(1), 1.0, rtol=1e-5)
 
 
+def test_avg_procrustes_changes_warp():
+    """cfg.avg_procrustes must reach point_warper.forward (reference
+    run.py:499 -> lib/pointwarper.py:246-250), not be a silent no-op."""
+    import dataclasses
+    params, mcfg, state, pcd, joints, bones = _toy_model()
+    # flatten the skinning weights (high softmax temperature): near-one-hot
+    # weights make the blend a pure rotation and procrustes a no-op
+    params = dict(params)
+    params["theta_weight"] = jnp.asarray([10.0], jnp.float32)
+    rot = np.zeros((mcfg.n_joints, 4), np.float32)
+    rot[:, 0] = 1.0
+    rot[1] = [0, 0, 1, 0.8]   # bend one joint -> blended frames non-rotation
+    out0 = tp.warp(params, mcfg, state, rot_params=jnp.asarray(rot))
+    mcfg_p = dataclasses.replace(mcfg, avg_procrustes=True)
+    out1 = tp.warp(params, mcfg_p, state, rot_params=jnp.asarray(rot))
+    assert not np.allclose(np.asarray(out0["xyz"]), np.asarray(out1["xyz"]))
+    # procrustes frames are orthonormal rotations
+    fr = np.asarray(out1["frames"])[:, :3, :3]
+    eye = np.einsum("pab,pcb->pac", fr, fr)
+    np.testing.assert_allclose(eye, np.eye(3)[None].repeat(len(fr), 0),
+                               atol=1e-4)
+
+
+def test_re_init_mlps_resets_heads():
+    """cfg.re_init_mlps must re-initialise the shared backbone heads
+    (reference lib/temporalpoints.py:137-146), not silently copy them."""
+    import dataclasses
+    params, mcfg, state, pcd, joints, bones = _toy_model()
+    rng = np.random.default_rng(0)
+    F = mcfg.feat_dim
+    k = jax.random.PRNGKey(1)
+    ks = jax.random.split(k, 3)
+    tnv = {
+        "rgbnet": tineuvox.init_rgbnet(ks[0], F, mcfg.views_ch),
+        "densitynet": onn.init_mlp(ks[1], [F, 1]),
+        "timenet": onn.init_mlp(ks[2], [mcfg.t_dim, 16, 8]),
+    }
+    feat = rng.normal(size=(mcfg.n_points, F)).astype(np.float32)
+    common = dict(canonical_pcd=pcd, joints=joints, bones=bones,
+                  canonical_feat=feat,
+                  canonical_alpha=np.full(mcfg.n_points, 0.5, np.float32),
+                  canonical_rgbs=np.full((mcfg.n_points, 3), 0.5, np.float32),
+                  tineuvox_params=tnv)
+    p_copy = tp.init_params(jax.random.PRNGKey(2), mcfg, **common)
+    mcfg_r = dataclasses.replace(mcfg, re_init_mlps=True)
+    p_re = tp.init_params(jax.random.PRNGKey(2), mcfg_r, **common)
+    for name in ("rgbnet", "densitynet", "timenet"):
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: jnp.allclose(a, b), p_copy[name], p_re[name]))
+        assert not same, f"{name} was not re-initialised"
+        # shapes preserved
+        jax.tree_util.tree_map(lambda a, b: None if a.shape == b.shape
+                               else pytest_fail(name),
+                               p_copy[name], p_re[name])
+    # the copy path still matches the backbone params bit-for-bit
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.allclose(a, b), p_copy["rgbnet"], tnv["rgbnet"]))
+
+
+def pytest_fail(name):
+    raise AssertionError(f"shape mismatch after re-init of {name}")
+
+
+def test_coarse_group_guard_stays_conservative():
+    """When (coarse_stride-1)/2*stepdist > occ_cell the group-centre
+    occupancy test is not conservative; sample_rays_compact must fall back
+    to per-member testing so no sample the reference keeps is pruned
+    (ADVICE r2, medium)."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-0.5, 0.5, (500, 3)).astype(np.float32)
+    radius = 0.01
+    # big voxel_size -> stepdist 0.15 per step; group half-width (c=8) is
+    # 0.525 >> occ_cell (max extent/occ_res floored at sqrt(radius)=0.1)
+    mcfg = tp.TemporalPointsConfig(
+        n_points=500, n_joints=2, feat_dim=8, stepsize=0.5, voxel_size=0.3,
+        voxel_size_ratio=1.0, act_shift=-3.0, sample_budget=16, max_steps=64,
+        coarse_stride=8, occ_res=64)
+    bb_min = jnp.asarray(pts.min(0) - radius)
+    bb_max = jnp.asarray(pts.max(0) + radius)
+    occ, cell = tp.build_occupancy(jnp.asarray(pts), bb_min, bb_max, radius,
+                                   occ_res=mcfg.occ_res)
+    assert (mcfg.coarse_stride - 1) / 2 * 0.15 > float(cell)  # guard active
+    ro = np.tile(pts.mean(0) + [0, 0, 2.0], (32, 1)).astype(np.float32)
+    rd = np.tile([[0.0, 0.0, -1.0]], (32, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.2, 0.2, 32)
+    pts_c, valid_c, step_c = tp.sample_rays_compact(
+        mcfg, jnp.asarray(ro), jnp.asarray(rd), 0.1, 10.0, bb_min, bb_max,
+        occ=occ, occ_cell=cell)
+    step_c = np.asarray(step_c)
+    valid_c = np.asarray(valid_c)
+
+    # ground truth: all S per-ray sample positions; the reference keeps any
+    # sample within sqrt(radius) of a point — the occupancy prefilter (and
+    # the group-centre shortcut) must not prune those
+    from apnerf.ops.rays import ray_aabb
+    stepdist = mcfg.stepsize * mcfg.voxel_size
+    t_lo, t_hi = ray_aabb(jnp.asarray(ro), jnp.asarray(rd), bb_min, bb_max,
+                          0.1, 10.0)
+    t_lo, t_hi = np.asarray(t_lo), np.asarray(t_hi)
+    n_steps = np.maximum(np.ceil((t_hi - t_lo) / stepdist), 1.0)
+    unit = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    steps = np.arange(mcfg.max_steps, dtype=np.float32)
+    start = ro + rd * t_lo[:, None]
+    pall = (start[:, None, :] + unit[:, None, :]
+            * steps[None, :, None] * stepdist)
+    d2all = ((pall[:, :, None, :] - pts[None, None]) ** 2).sum(-1).min(2)
+    # the reference's own keep-set: near the cloud AND inside the sampling
+    # bbox AND within the ray's step range (its sampler clips to the bbox
+    # crossing too); a small epsilon avoids fp boundary flicker
+    in_bb = np.all((pall >= np.asarray(bb_min) + 1e-6)
+                   & (pall <= np.asarray(bb_max) - 1e-6), -1)
+    near = (d2all <= radius) & in_bb & (steps[None, :] < n_steps[:, None])
+    for r in range(len(ro)):
+        need = set(np.nonzero(near[r])[0].tolist())
+        if not need:
+            continue
+        got = set(step_c[r][valid_c[r]].astype(int).tolist())
+        missing = need - got
+        # budget may legitimately truncate; only flag drops when the
+        # emitted set is under budget (room was available)
+        if valid_c[r].sum() < mcfg.sample_budget:
+            assert not missing, (r, sorted(missing))
+
+
+def test_pass_compaction_equivalence():
+    """The post-KNN pass-compaction (aggregate only radius-passing samples)
+    must not change the render when the pass budget is not exceeded."""
+    import dataclasses
+    params, mcfg, state, pcd, joints, bones = _toy_model(P=256)
+    # big enough M_act that pass_fraction=0.5 takes the compacted branch
+    mcfg_full = dataclasses.replace(mcfg, sample_budget=16, max_steps=64,
+                                    active_fraction=1.0, pass_fraction=1.0)
+    mcfg_cmp = dataclasses.replace(mcfg_full, pass_fraction=0.5)
+    center = pcd.mean(0)
+    R = 128
+    ro = np.tile(center + [0, 0, 2.0], (R, 1)).astype(np.float32)
+    rd = np.tile([[0.0, 0.0, -1.0]], (R, 1)).astype(np.float32)
+    # wide fan: only the central rays cross the cloud, so the number of
+    # radius-passing samples stays well under the 1024 pass budget
+    rd[:, 0] = np.linspace(-1.5, 1.5, R)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(rd))
+    kw = dict(t=jnp.float32(0.3), near=0.1, far=10.0, bg=1.0,
+              query_radius=0.05, render_depth=True)
+    out_f = tp.forward(params, mcfg_full, state, *args, **kw)
+    out_c = tp.forward(params, mcfg_cmp, state, *args, **kw)
+    # sanity: some rays hit, and the pass budget was not exceeded
+    n_hit = int((np.asarray(out_f["weights_per_sample"]) > 0).sum())
+    assert 0 < n_hit < 1024, n_hit
+    np.testing.assert_allclose(np.asarray(out_c["rgb_marched"]),
+                               np.asarray(out_f["rgb_marched"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c["depth"]),
+                               np.asarray(out_f["depth"]), atol=1e-4)
+
+
 def test_batch_chamfer_2d():
     a = jnp.asarray(np.zeros((2, 4, 2), np.float32))
     b = jnp.asarray(np.ones((2, 5, 2), np.float32))
