@@ -42,14 +42,12 @@ QB = 256          # queries per block
 GB = 4            # query blocks per grid step (amortises per-step overhead)
 PTS = 128         # points per tile
 RT = 24           # tiles per selection round (most blocks need one round)
-CW = RT * PTS     # candidate lanes per round
-BW = CW + 128     # + carried-best area (aligned to 128 lanes)
-LMASK = 0xFFF     # 12 lane bits (BW <= 4096)
+LMASK = 0xFFF     # 12 lane bits (candidate width + carry <= 4096)
 SENT = 0x7F000000  # sentinel key high bits (huge positive float pattern)
 
 
-def _kernel(k: int, meta_ref, q_ref, p_hbm, ok_ref, oi_ref, kbuf, p_scr,
-            p_sem):
+def _kernel(k, qb, gb, pts, rt, meta_ref, q_ref, p_hbm, ok_ref, oi_ref,
+            kbuf, p_scr, p_sem):
     # the point table is identical for every grid step; with a plain VMEM
     # BlockSpec Mosaic re-DMAs it per block (~80 us x n_blocks dominated the
     # kernel). Copy it once into persistent scratch on the first block.
@@ -59,80 +57,84 @@ def _kernel(k: int, meta_ref, q_ref, p_hbm, ok_ref, oi_ref, kbuf, p_scr,
         cp.start()
         cp.wait()
     p_ref = p_scr
-    tail = jax.lax.broadcasted_iota(jnp.int32, (QB, 128), 1)
-    # GB query blocks per grid step: the remaining per-step cost (~50 us of
-    # block fetch/writeback machinery) amortises over GB blocks
-    for g in range(GB):
-        _block(k, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf, tail)
+    tail = jax.lax.broadcasted_iota(jnp.int32, (qb, 128), 1)
+    # gb query blocks per grid step: the remaining per-step cost (~50 us of
+    # block fetch/writeback machinery) amortises over gb blocks
+    for g in range(gb):
+        _block(k, qb, pts, rt, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref,
+               kbuf, tail)
 
 
-def _block(k, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf, tail):
-    q = q_ref[g * QB:(g + 1) * QB]                  # [QB, 3]
+def _block(k, qb, pts, rt, g, meta_ref, q_ref, p_ref, ok_ref, oi_ref, kbuf,
+           tail):
+    cw = rt * pts
+    shift = pts.bit_length() - 1                    # log2(pts)
+    q = q_ref[g * qb:(g + 1) * qb]                  # [qb, 3]
     qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
     n = meta_ref[0, g, 0, 0]                        # candidate count
 
     def round_body(r, carry):
-        bkey, bidx = carry                          # [QB, k] int32 each
+        bkey, bidx = carry                          # [qb, k] int32 each
         tids = []
-        for s in range(RT):
-            i = r * RT + s
+        for s in range(rt):
+            i = r * rt + s
             tid = meta_ref[0, g, (i + 1) >> 7, (i + 1) & 127]
             tids.append(tid)
 
             @pl.when(i < n)
             def _():
-                p = p_ref[tid]                      # [3, PTS]
+                p = p_ref[tid]                      # [3, pts]
                 dx = qx - p[0:1, :]
                 dy = qy - p[1:2, :]
                 dz = qz - p[2:3, :]
-                d2 = dx * dx + dy * dy + dz * dz    # [QB, PTS]
-                loc = jax.lax.broadcasted_iota(jnp.int32, (QB, PTS), 1)
-                kbuf[:, s * PTS:(s + 1) * PTS] = (
+                d2 = dx * dx + dy * dy + dz * dz    # [qb, pts]
+                loc = jax.lax.broadcasted_iota(jnp.int32, (qb, pts), 1)
+                kbuf[:, s * pts:(s + 1) * pts] = (
                     (pltpu.bitcast(d2, jnp.int32) & ~LMASK)
-                    | (s * PTS + loc))
+                    | (s * pts + loc))
 
             @pl.when(i >= n)
             def _():
-                kbuf[:, s * PTS:(s + 1) * PTS] = (
-                    SENT | (s * PTS
-                            + jax.lax.broadcasted_iota(jnp.int32, (QB, PTS),
+                kbuf[:, s * pts:(s + 1) * pts] = (
+                    SENT | (s * pts
+                            + jax.lax.broadcasted_iota(jnp.int32, (qb, pts),
                                                        1)))
 
         # carried best-k re-packed into the aligned tail area
-        ins = jnp.full((QB, 128), SENT, jnp.int32)
+        ins = jnp.full((qb, 128), SENT, jnp.int32)
         for j in range(k):
             ins = jnp.where(tail == j, bkey[:, j:j + 1] & ~LMASK, ins)
-        kbuf[:, CW:] = ins | (CW + tail)
+        kbuf[:, cw:] = ins | (cw + tail)
 
         # write-free ascending extraction over unique keys
         buf = kbuf[:, :]
         nk, ni = [], []
-        m = jnp.full((QB,), -0x80000000, jnp.int32)
+        m = jnp.full((qb,), -0x80000000, jnp.int32)
         for j in range(k):
             m = jnp.min(jnp.where(buf > m[:, None], buf, 0x7FFFFFFF), axis=1)
             lane = m & LMASK
-            sub = lane >> 7                          # PTS == 128
-            loc = lane & (PTS - 1)
+            sub = lane >> shift
+            loc = lane & (pts - 1)
             tid_w = jnp.zeros_like(lane)
-            for s in range(RT):
+            for s in range(rt):
                 tid_w = tid_w + jnp.where(sub == s, tids[s], 0)
-            g_round = tid_w * PTS + loc
+            g_round = tid_w * pts + loc
             g_carry = jnp.zeros_like(lane)
             for s in range(k):
-                g_carry = g_carry + jnp.where(lane == CW + s, bidx[:, s], 0)
+                g_carry = g_carry + jnp.where(lane == cw + s, bidx[:, s], 0)
             nk.append(m)
-            ni.append(jnp.where(lane < CW, g_round, g_carry))
+            ni.append(jnp.where(lane < cw, g_round, g_carry))
         return jnp.stack(nk, axis=1), jnp.stack(ni, axis=1)
 
-    n_rounds = (n + RT - 1) // RT
-    bkey0 = SENT | (CW + jax.lax.broadcasted_iota(jnp.int32, (QB, k), 1))
-    bidx0 = jnp.zeros((QB, k), jnp.int32)
+    n_rounds = (n + rt - 1) // rt
+    bkey0 = SENT | (cw + jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1))
+    bidx0 = jnp.zeros((qb, k), jnp.int32)
     bkey, bidx = jax.lax.fori_loop(0, n_rounds, round_body, (bkey0, bidx0))
-    ok_ref[g * QB:(g + 1) * QB] = bkey
-    oi_ref[g * QB:(g + 1) * QB] = bidx
+    ok_ref[g * qb:(g + 1) * qb] = bkey
+    oi_ref[g * qb:(g + 1) * qb] = bidx
 
 
-def build_point_tables(points):
+def build_point_tables(points, pts_per_tile: int = PTS):
     """Morton-sort + tile the point cloud for the radius-KNN kernel.
 
     Per-frame precompute (the warped cloud changes per frame, not per ray
@@ -146,16 +148,16 @@ def build_point_tables(points):
     p_hi = pf.max(0)
     perm = jnp.argsort(morton_codes(pf, p_lo, p_hi))
     pts = pf[perm]
-    ppad = (-P) % PTS
+    ppad = (-P) % pts_per_tile
     if ppad:
         pts = jnp.concatenate(
             [pts, jnp.full((ppad, 3), 1e9, jnp.float32)], axis=0)
-    T = (P + ppad) // PTS
+    T = (P + ppad) // pts_per_tile
     assert T < 1023, "point set too large for the metadata row"
-    tiles = pts.reshape(T, PTS, 3)
+    tiles = pts.reshape(T, pts_per_tile, 3)
     return {
-        "pts_t": jnp.transpose(tiles, (0, 2, 1)),   # [T, 3, PTS]
-        "pts_sorted": pts,                          # [T*PTS, 3] (padded)
+        "pts_t": jnp.transpose(tiles, (0, 2, 1)),   # [T, 3, pts_per_tile]
+        "pts_sorted": pts,                          # [T*pts] (padded)
         "t_lo": tiles.min(1),                       # [T, 3]
         "t_hi": tiles.max(1),                       # pad rows only loosen lb
         "perm": perm,
@@ -165,10 +167,11 @@ def build_point_tables(points):
 
 
 @partial(jax.jit, static_argnames=("k", "radius2", "sort_queries",
-                                   "remap_indices"))
+                                   "remap_indices", "qb", "gb", "rt"))
 def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
                       sort_queries: bool = True, tables=None,
-                      remap_indices: bool = True):
+                      remap_indices: bool = True, qb: int = QB, gb: int = GB,
+                      rt: int = RT):
     """Radius-bounded k-NN: (d2 [M, k] ascending, idx [M, k]).
 
     Every neighbour with d2 < radius2 is found (up to 2^-11-relative
@@ -197,8 +200,9 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     t_lo = tables["t_lo"]
     t_hi = tables["t_hi"]
     perm = tables["perm"]
-    T = pts_t.shape[0]
-    ppad = T * PTS - P
+    T, _, pts_tile = pts_t.shape
+    assert rt * pts_tile + 128 <= LMASK + 1, "lane bits overflow"
+    ppad = T * pts_tile - P
 
     # ---- queries: Morton sort (point-bbox normalised), pad, block bbox
     if sort_queries:
@@ -207,13 +211,13 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
         q = qf[qperm]
     else:
         q = qf
-    mpad = (-M) % (QB * GB)
+    mpad = (-M) % (qb * gb)
     q = jnp.pad(q, ((0, mpad), (0, 0)), constant_values=2e9)
-    NB = (M + mpad) // QB
-    NG = NB // GB
-    qb = q.reshape(NB, QB, 3)
-    q_lo = qb.min(1)
-    q_hi = qb.max(1)
+    NB = (M + mpad) // qb
+    NG = NB // gb
+    qblk = q.reshape(NB, qb, 3)
+    q_lo = qblk.min(1)
+    q_hi = qblk.max(1)
 
     # ---- candidate tiles per block (exact under the radius bound) -----
     gap = jnp.maximum(jnp.maximum(q_lo[:, None, :] - t_hi[None],
@@ -223,30 +227,31 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     cnt = cand.sum(1).astype(jnp.int32)
     # metadata row per block: slot 0 = count, slots 1..T = candidate tiles
     meta = jnp.concatenate([cnt[:, None], order], axis=1)
-    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NG, GB, 8, 128)
+    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NG, gb, 8, 128)
 
+    bw = rt * pts_tile + 128
     out = pl.pallas_call(
-        partial(_kernel, k),
+        partial(_kernel, k, qb, gb, pts_tile, rt),
         grid=(NG,),
         in_specs=[
-            pl.BlockSpec((1, GB, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, gb, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((GB * QB, 3), lambda i: (i, 0),
+            pl.BlockSpec((gb * qb, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((GB * QB, k), lambda i: (i, 0),
+            pl.BlockSpec((gb * qb, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GB * QB, k), lambda i: (i, 0),
+            pl.BlockSpec((gb * qb, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
-            jax.ShapeDtypeStruct((NB * QB, k), jnp.int32),
+            jax.ShapeDtypeStruct((NB * qb, k), jnp.int32),
+            jax.ShapeDtypeStruct((NB * qb, k), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((QB, BW), jnp.int32),
-                        pltpu.VMEM((T, 3, PTS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((qb, bw), jnp.int32),
+                        pltpu.VMEM((T, 3, pts_tile), jnp.float32),
                         pltpu.SemaphoreType.DMA],
     )(meta, q, pts_t)
 

@@ -60,6 +60,11 @@ class TemporalPointsConfig:
     active_fraction: float = 0.375    # global budget of samples fed to KNN
     pass_fraction: float = 0.375      # of active budget, radius-cutoff passers
     occ_res: int = 64                 # occupancy-grid resolution per axis
+    occ_dilations: int = 2            # dilation rounds (finer cells=tighter)
+    knn_pts_tile: int = 128           # KNN kernel points per tile (pow2)
+    knn_rt: int = 24                  # KNN kernel tiles per selection round
+    group_pass_fraction: float = 0.625  # coarse-group k-NN prefilter budget
+                                        # (0 disables the prefilter)
     agg_bf16: bool = True             # half-width neighbour aggregation
     coarse_stride: int = 8            # steps per occupancy-tested group
 
@@ -251,29 +256,32 @@ def _compact_per_ray(valid, budget):
 OCC_RES = 64  # default occupancy-grid resolution (see cfg.occ_res)
 
 
-def build_occupancy(t_hat_pcd, bbox_min, bbox_max, radius, occ_res=OCC_RES):
-    """Binary occupancy grid of the warped cloud, dilated by one cell.
+def build_occupancy(t_hat_pcd, bbox_min, bbox_max, radius, occ_res=OCC_RES,
+                    margin=0.0, n_dil=2):
+    """Binary occupancy grid of the warped cloud, dilated ``n_dil`` cells.
 
     TPU-side pruning: a ray sample can only pass the reference's
-    ``to_nn[:, -1] <= query_radius`` cutoff (lib/temporalpoints.py:440) if it
-    lies within ``sqrt(radius)`` of some point, i.e. inside the dilated
-    occupancy of the cloud at cell size >= sqrt(radius). Filtering samples by
-    this grid before KNN removes the (dominant) cost of brute-force distance
-    computations for empty space.
+    ``to_nn[:, -1] <= query_radius`` cutoff (lib/temporalpoints.py:440) if
+    it lies within ``sqrt(radius)`` of some point; a test position offset
+    by up to ``margin`` from the sample (coarse-group centres) must then be
+    within ``D = sqrt(radius) + margin`` of a point. The lookup is
+    conservative iff ``floor(D/cell) + 1 <= n_dil``, i.e. ``cell > D/n_dil``
+    — enforced here by flooring the cell size. More dilation rounds with
+    finer cells tighten the acceptance region (~(n_dil+1)*cell) toward D,
+    cutting the false-positive samples that reach the KNN: n_dil=2 at
+    cell 0.065 accepts within ~0.2; n_dil=6 at cell 0.021 within ~0.15
+    (D = 0.121 at the bench scale).
     """
     extent = bbox_max - bbox_min
-    cell = jnp.maximum(jnp.max(extent) / occ_res, jnp.sqrt(radius))
+    D = jnp.sqrt(radius) + margin
+    cell = jnp.maximum(jnp.max(extent) / occ_res, D / n_dil * 1.0001)
     dims = occ_res
     idx = jnp.clip(((t_hat_pcd - bbox_min) / cell), 0, dims - 1).astype(jnp.int32)
     grid = jnp.zeros((dims, dims, dims), jnp.float32)
     grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(1.0, mode="drop")
-    # two-cell dilation via repeated 3x3x3 max pool: one cell for the
-    # radius bound, one more so the coarse-group centre test
-    # (sample_rays_compact) stays conservative
-    grid = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max, (3, 3, 3),
-                                 (1, 1, 1), "SAME")
-    grid = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max, (3, 3, 3),
-                                 (1, 1, 1), "SAME")
+    for _ in range(n_dil):
+        grid = jax.lax.reduce_window(grid, -jnp.inf, jax.lax.max, (3, 3, 3),
+                                     (1, 1, 1), "SAME")
     return grid > 0, cell
 
 
@@ -286,7 +294,8 @@ def occupancy_lookup(occ, cell, bbox_min, pts):
 
 
 def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
-                        bbox_min, bbox_max, occ=None, occ_cell=None):
+                        bbox_min, bbox_max, occ=None, occ_cell=None,
+                        occ_margin=0.0):
     """Dense slab sampling against a (dynamic) bbox + per-ray compaction.
 
     Replaces the reference's ragged ``sample_pts_on_rays`` +
@@ -315,12 +324,12 @@ def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
         tc = (jc * c + (c - 1) / 2.0) * stepdist
         pc = start[:, None, :] + unit_d[:, None, :] * tc[None, :, None]
 
-        # the centre test is conservative only when the group half-width
-        # fits inside the extra dilation cell: (c-1)/2*stepdist <= occ_cell.
-        # It holds at the defaults (occ_cell floored at sqrt(query_radius));
-        # when a caller's stepsize/coarse_stride/query_radius violate it,
-        # fall back to per-member occupancy (any over the c member samples)
-        # so groups the reference keeps are never pruned.
+        # the centre test is conservative only when the occupancy grid was
+        # built with a margin covering the group half-width
+        # (build_occupancy guarantees floor((sqrt(r)+margin)/cell)+1 <=
+        # n_dil). When a caller's stepsize/coarse_stride exceed the grid's
+        # margin, fall back to per-member occupancy (any over the c member
+        # samples) so groups the reference keeps are never pruned.
         def centre_hit(_):
             return occupancy_lookup(occ, occ_cell, bbox_min, pc)
 
@@ -331,7 +340,8 @@ def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
                   + unit_d[:, None, None, :] * tm[None, :, :, None])
             return occupancy_lookup(occ, occ_cell, bbox_min, pm).any(-1)
 
-        coarse_ok = (c - 1) / 2.0 * stepdist <= occ_cell
+        half = (c - 1) / 2.0 * stepdist
+        coarse_ok = half <= occ_margin * (1 + 1e-6) + 1e-12
         hit = jax.lax.cond(coarse_ok, centre_hit, member_hit, operand=None)
         hit = hit & (jc[None, :] * c < n_steps[:, None])
         src_c = _compact_per_ray(hit, B // c)                 # [R, B/c]
@@ -373,29 +383,43 @@ def prepare_occupancy(cfg: TemporalPointsConfig, state, t_hat_pcd,
         bb_max = pcd_sg.max(0) + query_radius
     else:
         bb_min, bb_max = state["xyz_min"], state["xyz_max"]
+    # margin covers the coarse-group centre offset so the group-centre
+    # occupancy test in sample_rays_compact stays conservative
+    margin = (cfg.coarse_stride - 1) / 2.0 * cfg.stepsize * cfg.voxel_size
     occ, occ_cell = build_occupancy(jax.lax.stop_gradient(t_hat_pcd),
                                     bb_min, bb_max, query_radius,
-                                    occ_res=cfg.occ_res)
+                                    occ_res=cfg.occ_res, margin=margin,
+                                    n_dil=cfg.occ_dilations)
     info = {"bb_min": bb_min, "bb_max": bb_max, "occ": occ,
-            "occ_cell": occ_cell}
+            "occ_cell": occ_cell, "occ_margin": margin}
     from ..ops.knn import _tpu_default
     if _tpu_default():
         # per-frame Morton tiling of the warped cloud for the KNN kernel —
         # every ray chunk of the frame reuses it
         from ..kernels.knn_cells_pallas import build_point_tables
         info["knn_tables"] = build_point_tables(
-            jax.lax.stop_gradient(t_hat_pcd))
+            jax.lax.stop_gradient(t_hat_pcd),
+            pts_per_tile=cfg.knn_pts_tile)
     return info
 
 
-def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max):
+def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max,
+                   pcd=None, tables=None, query_radius=None):
     """Global active-sample compaction + Morton ordering.
 
     Maps the dense [R, B] sample layout to a static active budget
     ``M_act`` of spatially ordered query slots. Returns
-    (q [M_act, 3], src [M_act] flat index into R*B, act_ok [M_act],
+    (q [M_slots, 3], src [M_slots] flat index into R*B, act_ok [M_slots],
     group_expand) — ``group_expand`` is (ray_of_group, stride) when the
     compaction ran at coarse-group granularity, else None.
+
+    With ``pcd``/``query_radius`` (group branch only): a hierarchical
+    k-NN prefilter runs on the GROUP representatives — a group whose rep's
+    kth neighbour lies beyond ``(sqrt(r) + (c-1)*stepdist)^2`` cannot
+    contain a sample passing the sample-level kth-neighbour cutoff
+    (measured: 52% of occupancy-passing groups survive, 0 violations) —
+    and only surviving groups (budgeted by ``cfg.group_pass_fraction``)
+    expand to sample slots, halving the sample-level KNN.
     """
     R, B = valid.shape
     M_full = R * B
@@ -433,17 +457,49 @@ def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max):
         grep = jnp.concatenate([grep, jnp.full((1, 3), 1e9)], 0)[gsrc]
         gperm = jnp.argsort(morton_codes(grep, bb_min, bb_max))
         gsrc = gsrc[gperm]
+
+        if (query_radius is not None and pcd is not None
+                and cfg.group_pass_fraction > 0):
+            # hierarchical prefilter: group-rep kth neighbour beyond the
+            # enlarged radius => no member can pass the sample cutoff
+            # (|member - rep| <= (c-1)*stepdist along the ray). Quantized
+            # kernel keys only err toward KEEPING groups — conservative.
+            grep_s = grep[gperm]
+            stepdist_ = cfg.stepsize * cfg.voxel_size
+            thr = float((np.sqrt(query_radius)
+                         + (c - 1) * stepdist_) ** 2)
+            d8g, _ = knn(jax.lax.stop_gradient(grep_s),
+                         jax.lax.stop_gradient(pcd), k=cfg.neighbours,
+                         radius2=thr, assume_sorted=True,
+                         point_tables=tables,
+                         sorted_point_idx=tables is not None,
+                         rt=cfg.knn_rt)
+            gkeep = d8g[:, -1] <= thr
+            G2 = int(G_act * cfg.group_pass_fraction)
+            G2 = max(128, (G2 + 127) // 128 * 128)
+            G2 = min(G2, G_act)
+            if G2 < G_act:
+                gpos = jnp.cumsum(gkeep) - 1
+                keep2 = gkeep & (gpos < G2)
+                gdest = jnp.where(keep2, gpos, G2)
+                gsel = jnp.full((G2 + 1,), M_grp, jnp.int32)
+                gsrc = gsel.at[gdest].set(gsrc, mode="drop")[:G2]
+            else:
+                gsrc = jnp.where(gkeep, gsrc, M_grp)
+
         # expand groups to samples; empty groups map to the pad row
+        G_sel = gsrc.shape[0]
+        M_slots = G_sel * c
         ray_of_g = jnp.minimum(gsrc // Bc, R - 1)
         base = ray_of_g * B + (gsrc % Bc) * c
         src = (jnp.where(gsrc < M_grp, base, M_full)[:, None]
-               + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(M_act)
+               + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(M_slots)
         src = jnp.minimum(src, M_full)
         # gather sample positions at GROUP granularity too (the row id in
-        # the [M_full/c, 3c] view is exactly gsrc): 73k rows, not 295k
+        # the [M_full/c, 3c] view is exactly gsrc): G_sel rows, not M_slots
         q_groups = jnp.concatenate(
             [q_full.reshape(M_grp, 3 * c), jnp.full((1, 3 * c), 1e9)], 0)
-        q = q_groups[jnp.minimum(gsrc, M_grp)].reshape(M_act, 3)
+        q = q_groups[jnp.minimum(gsrc, M_grp)].reshape(M_slots, 3)
         # member validity: invalid member slots carry the 1e9 sentinel
         act_ok = q[:, 0] < 1e8
         group_expand = (ray_of_g, c)
@@ -492,23 +548,25 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         occ_info = prepare_occupancy(cfg, state, t_hat_pcd, query_radius,
                                      calc_min_max)
     bb_min, bb_max = occ_info["bb_min"], occ_info["bb_max"]
-    pts, valid, step_id = sample_rays_compact(cfg, rays_o, rays_d, near, far,
-                                              bb_min, bb_max,
-                                              occ=occ_info["occ"],
-                                              occ_cell=occ_info["occ_cell"])
+    pts, valid, step_id = sample_rays_compact(
+        cfg, rays_o, rays_d, near, far, bb_min, bb_max,
+        occ=occ_info["occ"], occ_cell=occ_info["occ_cell"],
+        occ_margin=occ_info.get("occ_margin", 0.0))
     B = cfg.sample_budget
     M_full = R * B
     M_act = int(M_full * cfg.active_fraction)
     M_act = max(1024, ((M_act + 1023) // 1024) * 1024)
     M_act = min(M_act, M_full)
-    q, src, act_ok, group_expand = compact_active(cfg, pts, valid,
-                                                  bb_min, bb_max)
-
     tables = occ_info.get("knn_tables")
+    q, src, act_ok, group_expand = compact_active(
+        cfg, pts, valid, bb_min, bb_max, pcd=t_hat_pcd, tables=tables,
+        query_radius=query_radius)
+    M_slots = q.shape[0]                  # <= M_act after the prefilter
     d2, idx = knn(jax.lax.stop_gradient(q),
                   jax.lax.stop_gradient(t_hat_pcd), k=K,
                   radius2=float(query_radius), assume_sorted=True,
-                  point_tables=tables, sorted_point_idx=tables is not None)
+                  point_tables=tables, sorted_point_idx=tables is not None,
+                  rt=cfg.knn_rt)
     # radius cutoff on the kth neighbour (squared-distance semantics of the
     # reference, lib/temporalpoints.py:440). The Pallas kernel's d2 are
     # selection keys truncated to 11 mantissa bits (<= exact), so this
@@ -525,16 +583,16 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     # Morton order is preserved (monotone destinations).
     M_pass = int(M_act * cfg.pass_fraction)
     M_pass = max(1024, ((M_pass + 1023) // 1024) * 1024)
-    M_pass = min(M_pass, M_act)
-    if M_pass < M_act:
+    M_pass = min(M_pass, M_slots)
+    if M_pass < M_slots:
         ppos = jnp.cumsum(nn_ok) - 1
         keep = nn_ok & (ppos < M_pass)
         pdest = jnp.where(keep, ppos, M_pass)
-        psrc = jnp.full((M_pass + 1,), M_act, jnp.int32)
-        psrc = psrc.at[pdest].set(jnp.arange(M_act, dtype=jnp.int32),
+        psrc = jnp.full((M_pass + 1,), M_slots, jnp.int32)
+        psrc = psrc.at[pdest].set(jnp.arange(M_slots, dtype=jnp.int32),
                                   mode="drop")[:M_pass]
-        pass_ok = psrc < M_act
-        psl = jnp.minimum(psrc, M_act - 1)
+        pass_ok = psrc < M_slots
+        psl = jnp.minimum(psrc, M_slots - 1)
         q = q[psl]
         idx = idx[psl]
         src = jnp.where(pass_ok, src[psl], M_full)
@@ -542,7 +600,7 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     else:
         pass_ok = nn_ok
         src = jnp.where(nn_ok, src, M_full)
-        n_slots = M_act
+        n_slots = M_slots
 
     # sorted-index mode: ``idx`` indexes the Morton-SORTED point order, so
     # the [M_act, K] index-remap gather (runs at the TPU gather floor,

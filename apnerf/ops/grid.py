@@ -104,24 +104,40 @@ def _corner_gather_bwd(dims, res, g):
         from ..kernels.scatter_pallas import sorted_window_accumulate
         ex, ey, ez = sx + 1, sy + 1, sz + 1
         order = jnp.argsort(lin_ext)
-        acc = sorted_window_accumulate(lin_ext[order], upd[order],
-                                       ex * ey * ez)
-        # Reduce the 8 corner channels by one shifted pairwise combine per
-        # axis (corner k = dx*4 + dy*2 + dz; dgrid[p] = sum_k acc[p+1-d_k]).
-        # Done axis-at-a-time with fusion barriers: one big 8-slice fusion
-        # over the [ex*ey*ez, 8C] buffer crashes the TPU compile helper at
-        # 160^3 scale.
-        acc = jax.lax.optimization_barrier(acc)
-        a = acc.reshape(ex, ey, ez, 4, 2, C)
-        a = (jax.lax.slice_in_dim(a, 1, 1 + sz, axis=2)[..., 0, :]
-             + jax.lax.slice_in_dim(a, 0, sz, axis=2)[..., 1, :])
-        a = jax.lax.optimization_barrier(a).reshape(ex, ey, sz, 2, 2, C)
-        a = (jax.lax.slice_in_dim(a, 1, 1 + sy, axis=1)[..., 0, :]
-             + jax.lax.slice_in_dim(a, 0, sy, axis=1)[..., 1, :])
-        a = jax.lax.optimization_barrier(a).reshape(ex, sy, sz, 1, 2, C)
-        a = (jax.lax.slice_in_dim(a, 1, 1 + sx, axis=0)[..., 0, :]
-             + jax.lax.slice_in_dim(a, 0, sx, axis=0)[..., 1, :])
-        dgrid = a.reshape(-1, C)
+        idx_sorted = lin_ext[order]
+
+        def accum_chunk(upd_c, Cc):
+            """One extended-grid accumulation + 8-corner shifted reduce for
+            a chunk of Cc channels (bounds the [ex*ey*ez, 8*Cc] buffer —
+            at 36 channels a single pass would need ~5 GB)."""
+            acc = sorted_window_accumulate(idx_sorted, upd_c,
+                                           ex * ey * ez)
+            # Reduce the 8 corner channels by one shifted pairwise combine
+            # per axis (corner k = dx*4+dy*2+dz; dgrid[p] = sum_k
+            # acc[p+1-d_k]). Axis-at-a-time with fusion barriers: one big
+            # 8-slice fusion over the [ex*ey*ez, 8C] buffer crashes the
+            # TPU compile helper at 160^3 scale.
+            acc = jax.lax.optimization_barrier(acc)
+            a = acc.reshape(ex, ey, ez, 4, 2, Cc)
+            a = (jax.lax.slice_in_dim(a, 1, 1 + sz, axis=2)[..., 0, :]
+                 + jax.lax.slice_in_dim(a, 0, sz, axis=2)[..., 1, :])
+            a = jax.lax.optimization_barrier(a).reshape(ex, ey, sz, 2, 2, Cc)
+            a = (jax.lax.slice_in_dim(a, 1, 1 + sy, axis=1)[..., 0, :]
+                 + jax.lax.slice_in_dim(a, 0, sy, axis=1)[..., 1, :])
+            a = jax.lax.optimization_barrier(a).reshape(ex, sy, sz, 1, 2, Cc)
+            a = (jax.lax.slice_in_dim(a, 1, 1 + sx, axis=0)[..., 0, :]
+                 + jax.lax.slice_in_dim(a, 0, sx, axis=0)[..., 1, :])
+            return a.reshape(-1, Cc)
+
+        CG = min(C, 12)                # channel chunk (memory bound)
+        if C % CG:
+            CG = C                     # odd widths: single pass
+        upd8 = upd.reshape(M, 8, C)[order]
+        parts = []
+        for c0 in range(0, C, CG):
+            upd_c = upd8[:, :, c0:c0 + CG].reshape(M, 8 * CG)
+            parts.append(accum_chunk(upd_c, CG))
+        dgrid = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
     else:
         # grid_flat is always cast to float32 by _interp_at_indices
         dgrid = jnp.zeros((sx * sy * sz, C), jnp.float32).at[
@@ -163,14 +179,87 @@ def pad_to_mult4(grid):
     return jnp.pad(grid, ((0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
 
 
-def mult_dist_interp(grid, xyz, xyz_min, xyz_max):
+def _upsample_axis_2x(g, axis, reps):
+    """Exact align-corners linear upsample by 2^reps along one axis.
+
+    Sizes are 2^r*k+1 -> ... -> 2k+1 -> n (odd chain from pad_to_mult4), so
+    each doubling interleaves the source values with midpoints — the
+    upsampled values are EXACTLY the linear interpolation of the coarse
+    grid at the fine corners (midpoint weight 0.5 is exact in fp32).
+    """
+    for _ in range(reps):
+        n = g.shape[axis]
+        a = jax.lax.slice_in_dim(g, 0, n - 1, axis=axis)
+        b = jax.lax.slice_in_dim(g, 1, n, axis=axis)
+        mid = 0.5 * (a + b)
+        stacked = jnp.stack([a, mid], axis=axis + 1)
+        sh = list(g.shape)
+        sh[axis] = 2 * (n - 1)
+        interleaved = stacked.reshape(sh)
+        g = jnp.concatenate(
+            [interleaved, jax.lax.slice_in_dim(g, n - 1, n, axis=axis)],
+            axis=axis)
+    return g
+
+
+def bake_multiscale(grid):
+    """Bake the stride-1/2/4 multiscale features into ONE fine grid
+    ``[X', Y', Z', 3C]`` (padded 4k+1 dims).
+
+    Sampling the baked grid with one trilinear interp is EXACTLY
+    ``mult_dist_interp``: the coarse scales are piecewise-trilinear on
+    coarse cells, every fine cell nests inside one coarse cell (stride-2/4
+    subdivision with shared corners), and trilinear interpolation of the
+    exact fine-corner samples reproduces a trilinear function. This turns
+    24 gather rows per sample (8 corners x 3 scales of C-channel rows)
+    into 8 rows of 3C channels — the TPU gather floor is per ROW
+    (PERF.md), so the hot stage-1 interp runs ~3x fewer gathers, and the
+    grid gradient needs ONE base-cell sort instead of three.
+
+    Deviation: for points OUTSIDE the bbox (deformation can push samples
+    out), zero-padding applies the fine grid's partial corner weights to
+    all scales, whereas the reference applies each scale's own partial
+    weights (lib/tineuvox.py:386 padding_mode='zeros' per scale). Inside
+    the bbox the result is bit-for-bit the per-scale computation.
+    """
+    g = pad_to_mult4(grid.astype(jnp.float32))
+    g_m = g[::2, ::2, ::2]
+    g_s = g[::4, ::4, ::4]
+    up_m = g_m
+    up_s = g_s
+    for ax in range(3):
+        up_m = _upsample_axis_2x(up_m, ax, 1)
+        up_s = _upsample_axis_2x(up_s, ax, 2)
+    return jnp.concatenate([g, up_m, up_s], axis=-1)
+
+
+def mult_dist_interp(grid, xyz, xyz_min, xyz_max, baked=None):
     """Multi-scale (stride 1/2/4) trilinear features, concatenated on channels.
 
     Mirrors reference ``TiNeuVox.mult_dist_interp`` (lib/tineuvox.py:402-419):
     the grid is zero-padded to a 4k+1 size; all three scales are sampled with
     the SAME bbox-normalised coordinate, i.e. normalised coord 1 maps to index
     ``padded_size-1`` of each (strided) grid.
+
+    On TPU the three scales are baked into one 3C-channel fine grid
+    (``bake_multiscale`` — numerically equivalent, 3x fewer gather rows);
+    pass ``baked`` to reuse a precomputed bake. The channel order of the
+    output matches the reference: [fine C | stride-2 C | stride-4 C].
     """
+    from .knn import _tpu_default
+    import os
+    # APNERF_BAKE=1 samples a baked 3C grid instead of three per-scale
+    # interps (3x fewer gather rows). Default OFF: measured 963 ms vs
+    # 590 ms per stage-1 step at 160^3 — the row-count win is outweighed
+    # elsewhere (see scripts/bench_interp.py A/B); kept for exactness
+    # tests and future diagnosis.
+    if (baked is None and _tpu_default()
+            and os.environ.get("APNERF_BAKE", "0") == "1"):
+        baked = bake_multiscale(grid)
+    if baked is not None:
+        shape_l = jnp.asarray(baked.shape[:3], jnp.float32)
+        unit = (xyz - xyz_min) / (xyz_max - xyz_min)
+        return _interp_at_indices(baked, unit * (shape_l - 1.0))
     g = pad_to_mult4(grid.astype(jnp.float32))
     shape_l = jnp.asarray(g.shape[:3], jnp.float32)
     unit = (xyz - xyz_min) / (xyz_max - xyz_min)

@@ -87,10 +87,10 @@ def _knn_block(queries, pts_tiles, k: int, tile: int):
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "q_tile", "radius2",
-                                   "assume_sorted", "sorted_point_idx"))
+                                   "assume_sorted", "sorted_point_idx", "rt"))
 def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
         radius2=None, assume_sorted: bool = False, point_tables=None,
-        sorted_point_idx: bool = False):
+        sorted_point_idx: bool = False, rt: int = 24):
     """K nearest points for each query, tiled over both operands.
 
     On TPU this dispatches to the fused Pallas kernel
@@ -116,7 +116,8 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
                                      radius2=float(radius2),
                                      sort_queries=not assume_sorted,
                                      tables=point_tables,
-                                     remap_indices=not sorted_point_idx)
+                                     remap_indices=not sorted_point_idx,
+                                     rt=rt)
         from ..kernels.knn_pallas import knn_pallas_sorted
         return knn_pallas_sorted(queries, points, k=k, radius2=radius2,
                                  sort_queries=not assume_sorted)

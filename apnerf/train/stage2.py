@@ -53,6 +53,7 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
     active_fraction = float(cfg_model.get("active_fraction", 0.375))
     pass_fraction = float(cfg_model.get("pass_fraction", 0.375))
     occ_res = int(cfg_model.get("occ_res", 64))
+    occ_dilations = int(cfg_model.get("occ_dilations", 2))
 
     mcfg = tp.TemporalPointsConfig(
         n_points=len(pcd), n_joints=len(joints),
@@ -73,7 +74,7 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         pose_embedding_dim=int(cfg_train.pose_embedding_dim),
         sample_budget=int(sample_budget), max_steps=int(max_steps),
         active_fraction=active_fraction, pass_fraction=pass_fraction,
-        occ_res=occ_res)
+        occ_res=occ_res, occ_dilations=occ_dilations)
 
     key = jax.random.PRNGKey(seed)
     params = tp.init_params(key, mcfg, pcd, joints, bones,
@@ -207,7 +208,8 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
         pts, valid, _ = tp.sample_rays_compact(
             mcfg, ro0, rd0, data_dict["near"], data_dict["far"],
             occ_info["bb_min"], occ_info["bb_max"], occ=occ_info["occ"],
-            occ_cell=occ_info["occ_cell"])
+            occ_cell=occ_info["occ_cell"],
+            occ_margin=occ_info.get("occ_margin", 0.0))
         v = np.asarray(valid)
         per_ray = v.sum(1)
         m_act = max(1024, (int(v.size * mcfg.active_fraction) + 1023)

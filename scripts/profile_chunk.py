@@ -75,7 +75,9 @@ def main():
         return tp.sample_rays_compact(mcfg, ro, rd, 0.5, 6.0,
                                       occ_info["bb_min"], occ_info["bb_max"],
                                       occ=occ_info["occ"],
-                                      occ_cell=occ_info["occ_cell"])
+                                      occ_cell=occ_info["occ_cell"],
+                                      occ_margin=occ_info.get("occ_margin",
+                                                              0.0))
 
     pts, valid, step_id = f_sample(ro, rd)
 

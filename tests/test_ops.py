@@ -160,6 +160,39 @@ def test_mult_dist_interp_against_torch():
                                atol=1e-5)
 
 
+def test_baked_multiscale_matches_per_scale():
+    """bake_multiscale + one trilinear interp must equal the per-scale
+    mult_dist_interp (the TPU fast path relies on the exact nesting of
+    stride-2/4 cells inside fine cells)."""
+    rng = np.random.default_rng(7)
+    X, Y, Z, C = 9, 11, 13, 4
+    grid = rng.normal(size=(X, Y, Z, C)).astype(np.float32)
+    xyz_min = jnp.zeros(3)
+    xyz_max = jnp.ones(3)
+    # in-bbox points: baked is exact there (outside, zero-padding weights
+    # legitimately differ per scale — documented deviation)
+    pts = jnp.asarray(rng.uniform(0, 1, size=(500, 3)).astype(np.float32))
+    ref = ops.mult_dist_interp(jnp.asarray(grid), pts, xyz_min, xyz_max)
+    baked = ops.bake_multiscale(jnp.asarray(grid))
+    out = ops.mult_dist_interp(jnp.asarray(grid), pts, xyz_min, xyz_max,
+                               baked=baked)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+    # gradients w.r.t. the raw grid agree through the bake
+    def loss_baked(g):
+        b = ops.bake_multiscale(g)
+        return (ops.mult_dist_interp(g, pts, xyz_min, xyz_max,
+                                     baked=b) ** 2).sum()
+
+    def loss_ref(g):
+        return (ops.mult_dist_interp(g, pts, xyz_min, xyz_max) ** 2).sum()
+
+    g1 = jax.grad(loss_baked)(jnp.asarray(grid))
+    g2 = jax.grad(loss_ref)(jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_resize_trilinear_against_torch():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F

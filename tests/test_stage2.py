@@ -313,6 +313,54 @@ def test_pass_compaction_equivalence():
                                np.asarray(out_f["depth"]), atol=1e-4)
 
 
+def test_group_prefilter_equivalence():
+    """The hierarchical group-level kth-neighbour prefilter prunes only
+    groups whose members cannot pass the sample-level radius cutoff — the
+    render must be unchanged vs the prefilter disabled."""
+    import dataclasses
+    params, mcfg, state, pcd, joints, bones = _toy_model(P=256)
+    mcfg_off = dataclasses.replace(mcfg, group_pass_fraction=0.0)
+    center = pcd.mean(0)
+    R = 64
+    ro = np.tile(center + [0, 0, 2.0], (R, 1)).astype(np.float32)
+    rd = np.tile([[0.0, 0.0, -1.0]], (R, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.4, 0.4, R)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(rd))
+    kw = dict(t=jnp.float32(0.3), near=0.1, far=10.0, bg=1.0,
+              query_radius=0.05, render_depth=True)
+    out_on = tp.forward(params, mcfg, state, *args, **kw)
+    out_off = tp.forward(params, mcfg_off, state, *args, **kw)
+    assert float(np.asarray(out_off["weights_per_sample"]).sum()) > 0
+    np.testing.assert_allclose(np.asarray(out_on["rgb_marched"]),
+                               np.asarray(out_off["rgb_marched"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_on["depth"]),
+                               np.asarray(out_off["depth"]), atol=1e-4)
+
+
+def test_occupancy_tightening_equivalence():
+    """Finer occupancy cells + more dilation rounds prune only samples that
+    cannot pass the radius cutoff — the render must be unchanged."""
+    import dataclasses
+    params, mcfg, state, pcd, joints, bones = _toy_model()
+    mcfg_t = dataclasses.replace(mcfg, occ_res=128, occ_dilations=6)
+    center = pcd.mean(0)
+    R = 32
+    ro = np.tile(center + [0, 0, 2.0], (R, 1)).astype(np.float32)
+    rd = np.tile([[0.0, 0.0, -1.0]], (R, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.15, 0.15, R)
+    args = (jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(rd))
+    kw = dict(t=jnp.float32(0.3), near=0.1, far=10.0, bg=1.0,
+              query_radius=0.05, render_depth=True)
+    out0 = tp.forward(params, mcfg, state, *args, **kw)
+    out1 = tp.forward(params, mcfg_t, state, *args, **kw)
+    assert float(np.asarray(out0["weights_per_sample"]).sum()) > 0
+    np.testing.assert_allclose(np.asarray(out1["rgb_marched"]),
+                               np.asarray(out0["rgb_marched"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1["depth"]),
+                               np.asarray(out0["depth"]), atol=1e-4)
+
+
 def test_batch_chamfer_2d():
     a = jnp.asarray(np.zeros((2, 4, 2), np.float32))
     b = jnp.asarray(np.ones((2, 5, 2), np.float32))

@@ -117,6 +117,46 @@ def test_trilerp_grid_gradient_matches_xla_scatter():
                                atol=2e-4)
 
 
+def test_baked_multiscale_grad_chunked():
+    """mult_dist_interp on the TPU path (baked 3C-channel grid, channel-
+    chunked sorted-window grid gradient) vs the per-scale XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+    from apnerf.ops.grid import bake_multiscale, mult_dist_interp
+    rng = np.random.default_rng(11)
+    S, C, M = 33, 12, 100_000
+    grid = rng.standard_normal((S, S, S, C)).astype(np.float32)
+    pts = rng.uniform(0, 1, (M, 3)).astype(np.float32)
+    lo = jnp.zeros(3)
+    hi = jnp.ones(3)
+
+    def loss_baked(g, p):
+        out = mult_dist_interp(g, p, lo, hi, baked=bake_multiscale(g))
+        return (out * jnp.sin(out)).sum()
+
+    def loss_scales(g, p):
+        # force the per-scale path by passing a fake baked=None via the
+        # CPU formulation: replicate with explicit per-scale interp
+        from apnerf.ops.grid import pad_to_mult4, _interp_at_indices
+        gp = pad_to_mult4(g.astype(jnp.float32))
+        unit = (p - lo) / (hi - lo)
+        outs = []
+        for stride in (1, 2, 4):
+            gs = gp[::stride, ::stride, ::stride]
+            sh = jnp.asarray(gs.shape[:3], jnp.float32)
+            outs.append(_interp_at_indices(gs, unit * (sh - 1.0)))
+        out = jnp.concatenate(outs, -1)
+        return (out * jnp.sin(out)).sum()
+
+    g1, d1 = jax.grad(loss_baked, argnums=(0, 1))(jnp.asarray(grid),
+                                                  jnp.asarray(pts))
+    g2, d2 = jax.grad(loss_scales, argnums=(0, 1))(jnp.asarray(grid),
+                                                   jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=3e-4,
+                               atol=3e-4)
+
+
 def test_scatter_kernel_matches_numpy():
     import jax.numpy as jnp
     from apnerf.kernels.scatter_pallas import scatter_add_rows
