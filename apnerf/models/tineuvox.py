@@ -51,6 +51,11 @@ class TiNeuVoxConfig:
     no_view_dir: bool = False
     add_cam: bool = False
     feat_only: bool = False
+    # bf16 deformation/featurenet activations (params stay fp32 in the
+    # optimizer; matmul products were already bf16 on TPU — this halves the
+    # activation/residual HBM traffic). Not part of get_kwargs: checkpoints
+    # reload with fp32 eval.
+    mlp_bf16: bool = False
 
     # ----- derived geometry -----
     @property
@@ -195,12 +200,22 @@ def query_density_features(params, cfg: TiNeuVoxConfig, pts, times_feature,
     """
     freqs_pos = encoding.poc_freqs(cfg.posbase_pe)
     freqs_grid = encoding.poc_freqs(cfg.gridbase_pe)
+    act_dt = jnp.bfloat16 if cfg.mlp_bf16 else jnp.float32
+
+    def cast_p(p):
+        if not cfg.mlp_bf16:
+            return p
+        return jax.tree_util.tree_map(lambda x: x.astype(act_dt), p)
+
     pts_emb = encoding.poc_fre(pts, freqs_pos)
     if canonical:
         pts_delta = pts
     else:
-        pts_delta = apply_deformation(params["deformation_net"], pts_emb,
-                                      times_feature)
+        h_d = jnp.concatenate([pts_emb, times_feature], axis=-1)
+        dx = nn.mlp(cast_p(params["deformation_net"]), h_d.astype(act_dt))
+        # the delta is added to the raw xyz in fp32 (positions feed the
+        # grid interp; only the learned offset is half-width)
+        pts_delta = pts_emb[..., :3] + dx.astype(jnp.float32)
     xyz_min = jnp.asarray(cfg.xyz_min, jnp.float32)
     xyz_max = jnp.asarray(cfg.xyz_max, jnp.float32)
     vox_feat = mult_dist_interp(params["feature"], pts_delta, xyz_min, xyz_max)
@@ -209,8 +224,9 @@ def query_density_features(params, cfg: TiNeuVoxConfig, pts, times_feature,
         h_in = vox_emb
     else:
         h_in = jnp.concatenate([vox_emb, pts_emb, times_feature], axis=-1)
-    h = nn.mlp(params["featurenet"], h_in, final_activation=jax.nn.relu)
-    return h, pts_delta
+    h = nn.mlp(cast_p(params["featurenet"]), h_in.astype(act_dt),
+               final_activation=jax.nn.relu)
+    return h.astype(jnp.float32), pts_delta
 
 
 def time_feature(params, cfg: TiNeuVoxConfig, times_sel):

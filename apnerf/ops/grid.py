@@ -132,12 +132,15 @@ def _corner_gather_bwd(dims, res, g):
         CG = min(C, 12)                # channel chunk (memory bound)
         if C % CG:
             CG = C                     # odd widths: single pass
-        upd8 = upd.reshape(M, 8, C)[order]
-        parts = []
-        for c0 in range(0, C, CG):
-            upd_c = upd8[:, :, c0:c0 + CG].reshape(M, 8 * CG)
-            parts.append(accum_chunk(upd_c, CG))
-        dgrid = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+        if CG == C:
+            dgrid = accum_chunk(upd[order], C)
+        else:
+            upd8 = upd.reshape(M, 8, C)[order]
+            parts = []
+            for c0 in range(0, C, CG):
+                upd_c = upd8[:, :, c0:c0 + CG].reshape(M, 8 * CG)
+                parts.append(accum_chunk(upd_c, CG))
+            dgrid = jnp.concatenate(parts, -1)
     else:
         # grid_flat is always cast to float32 by _interp_at_indices
         dgrid = jnp.zeros((sx * sy * sz, C), jnp.float32).at[

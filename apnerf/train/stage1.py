@@ -163,6 +163,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
     if pg_scale:
         num_voxels = int(num_voxels / (2 ** len(pg_scale)))
 
+    from ..ops.knn import _tpu_default
     model_cfg = tineuvox.TiNeuVoxConfig(
         xyz_min=tuple(xyz_min), xyz_max=tuple(xyz_max),
         num_voxels=num_voxels,
@@ -173,7 +174,11 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         alpha_init=float(cfg_model.alpha_init),
         fast_color_thres=float(cfg_model.fast_color_thres),
         no_view_dir=bool(cfg_model.no_view_dir),
-        add_cam=bool(cfg.data.get("add_cam", False)))
+        add_cam=bool(cfg.data.get("add_cam", False)),
+        # half-width deformation/featurenet activations on TPU (the
+        # matmul products were bf16 already; this halves activation and
+        # residual traffic). CPU keeps fp32 so tests pin fp32 numerics.
+        mlp_bf16=bool(cfg_model.get("mlp_bf16", True)) and _tpu_default())
 
     key = jax.random.PRNGKey(seed)
     params = tineuvox.init_params(key, model_cfg)

@@ -14,6 +14,7 @@ pipeline, lib/temporalpoints.py:416-521) lives in BASELINE.md. Replace
 with a measured number when the reference can be run.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -75,7 +76,7 @@ def main():
 
     params, mcfg, state = build_model()
     H = W = 400
-    CHUNK = 8192
+    CHUNK = int(os.environ.get("APNERF_BENCH_CHUNK", "8192"))
     focal = 555.0
     rng = np.random.default_rng(1)
 

@@ -19,7 +19,8 @@ def main():
     cfg_model = tineuvox.TiNeuVoxConfig(
         xyz_min=(-1.4, -1.4, -1.4), xyz_max=(1.4, 1.4, 1.4),
         num_voxels=160 ** 3, num_voxels_base=160 ** 3, voxel_dim=12,
-        defor_depth=3, net_width=256, alpha_init=1e-3, fast_color_thres=1e-4)
+        defor_depth=3, net_width=256, alpha_init=1e-3, fast_color_thres=1e-4,
+        mlp_bf16=os.environ.get("APNERF_S1_BF16", "1") == "1")
     params = tineuvox.init_params(jax.random.PRNGKey(0), cfg_model)
     stepsize = 0.5
     n_steps = cfg_model.max_steps(stepsize)
