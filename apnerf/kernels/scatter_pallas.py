@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-W_CELLS = 1024    # output cells per window
+W_CELLS = 1024    # output cells per window (matmul granularity)
+SUPER = 8         # windows per grid step (amortizes per-step fixed costs)
 B_ROWS = 512      # update rows per DMA block
 SUB = 128         # lane width; B_ROWS // SUB sub-blocks per DMA block
 
@@ -33,13 +34,7 @@ SUB = 128         # lane width; B_ROWS // SUB sub-blocks per DMA block
 def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                   upd_scr, sems):
     w = pl.program_id(0)
-    start = offs_ref[w]
-    end = offs_ref[w + 1]
-    base = w * W_CELLS
     out_ref[:] = jnp.zeros_like(out_ref)
-
-    c0 = start // B_ROWS
-    c1 = (end + B_ROWS - 1) // B_ROWS
 
     def dma_pair(i, slot):
         return (
@@ -50,45 +45,61 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                 updt_hbm.at[i], upd_scr.at[slot], sems.at[slot, 1]),
         )
 
-    @pl.when(c0 < c1)
-    def _():
-        a, b = dma_pair(c0, 0)
-        a.start()
-        b.start()
+    # SUPER windows per grid step: most per-step costs (output block DMA,
+    # step dispatch) are fixed, and the extended grid is mostly empty under
+    # occupancy pruning — at W_CELLS-sized steps those fixed costs dominated
+    # the stage-1 grid gradient (~310 ms of a 550 ms step, PERF.md).
+    for sw in range(SUPER):
+        win = w * SUPER + sw
+        start = offs_ref[win]
+        end = offs_ref[win + 1]
+        base = win * W_CELLS
+        c0 = start // B_ROWS
+        c1 = (end + B_ROWS - 1) // B_ROWS
 
-    def chunk(i, _):
-        slot = jax.lax.rem(i - c0, 2)
-        next_slot = jax.lax.rem(i - c0 + 1, 2)
-
-        @pl.when(i + 1 < c1)
+        @pl.when(c0 < c1)
         def _():
-            a, b = dma_pair(i + 1, next_slot)
+            a, b = dma_pair(c0, 0)
             a.start()
             b.start()
 
-        a, b = dma_pair(i, slot)
-        a.wait()
-        b.wait()
-        r0 = i * B_ROWS
-        acc = jnp.zeros((C_PAD, W_CELLS), jnp.float32)
-        for s in range(B_ROWS // SUB):
-            rows = (r0 + s * SUB
-                    + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)[:, 0])
-            ok = (rows >= start) & (rows < end)
-            col = idx_scr[slot, s, :] - base
-            onehot = ((jax.lax.broadcasted_iota(jnp.int32, (SUB, W_CELLS), 1)
-                       == col[:, None]) & ok[:, None])
-            # exact: 0/1 rhs-free matmul, fp32 accumulation on the MXU
-            acc = acc + jax.lax.dot_general(
-                upd_scr[slot, :, s * SUB:(s + 1) * SUB],
-                onehot.astype(jnp.float32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        out_ref[0] += acc
-        return 0
+        def chunk(i, _, start=start, end=end, base=base, c0=c0, c1=c1,
+                  sw=sw):
+            slot = jax.lax.rem(i - c0, 2)
+            next_slot = jax.lax.rem(i - c0 + 1, 2)
 
-    jax.lax.fori_loop(c0, c1, chunk, 0)
+            @pl.when(i + 1 < c1)
+            def _():
+                a, b = dma_pair(i + 1, next_slot)
+                a.start()
+                b.start()
+
+            a, b = dma_pair(i, slot)
+            a.wait()
+            b.wait()
+            r0 = i * B_ROWS
+            acc = jnp.zeros((W_CELLS, C_PAD), jnp.float32)
+            for s in range(B_ROWS // SUB):
+                rows = (r0 + s * SUB
+                        + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1),
+                                                   0)[:, 0])
+                ok = (rows >= start) & (rows < end)
+                col = idx_scr[slot, s, :] - base
+                onehot = ((jax.lax.broadcasted_iota(jnp.int32,
+                                                    (SUB, W_CELLS), 1)
+                           == col[:, None]) & ok[:, None])
+                # exact: 0/1 lhs-free matmul, fp32 accumulation on the MXU;
+                # [W, C] output order so the wrapper needs NO transposes
+                acc = acc + jax.lax.dot_general(
+                    onehot.astype(jnp.float32),
+                    upd_scr[slot, :, s * SUB:(s + 1) * SUB],
+                    dimension_numbers=(((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            out_ref[0, sw * W_CELLS:(sw + 1) * W_CELLS, :] += acc
+            return 0
+
+        jax.lax.fori_loop(c0, c1, chunk, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))
@@ -99,7 +110,9 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     C = upd_sorted.shape[1]
     C_PAD = max(16, ((C + 7) // 8) * 8)
     n_win = (n_rows + W_CELLS - 1) // W_CELLS
-    rows_pad = n_win * W_CELLS
+    n_sup = (n_win + SUPER - 1) // SUPER
+    n_win_pad = n_sup * SUPER
+    rows_pad = n_win_pad * W_CELLS
 
     mpad = (-M) % B_ROWS + B_ROWS
     n_blk = (M + mpad) // B_ROWS
@@ -112,17 +125,18 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     updt = jnp.transpose(updt.reshape(n_blk, B_ROWS, C_PAD), (0, 2, 1))
     idx_blocks = idx_p.reshape(-1, SUB)
 
-    bounds = jnp.arange(n_win + 1, dtype=jnp.int32) * W_CELLS
+    bounds = jnp.arange(n_win_pad + 1, dtype=jnp.int32) * W_CELLS
     offsets = jnp.searchsorted(idx_p[:M], bounds, side="left").astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_win,),
+        grid=(n_sup,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, C_PAD, W_CELLS), lambda w, offs: (w, 0, 0),
+        out_specs=pl.BlockSpec((1, SUPER * W_CELLS, C_PAD),
+                               lambda w, offs: (w, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, B_ROWS // SUB, SUB), jnp.int32),
@@ -133,11 +147,11 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     out_t = pl.pallas_call(
         functools.partial(_accum_kernel, C_PAD),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_win, C_PAD, W_CELLS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_sup, SUPER * W_CELLS, C_PAD),
+                                       jnp.float32),
     )(offsets, idx_blocks, updt)
-    # [n_win, C_PAD, W] -> [n_win*W, C_PAD] -> [n_rows, C]
-    return jnp.transpose(out_t, (0, 2, 1)).reshape(rows_pad, C_PAD)[
-        :n_rows, :C]
+    # [n_sup, SUPER*W, C_PAD] -> [rows_pad, C_PAD] -> [n_rows, C]
+    return out_t.reshape(rows_pad, C_PAD)[:n_rows, :C]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows",))

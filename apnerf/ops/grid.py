@@ -107,27 +107,34 @@ def _corner_gather_bwd(dims, res, g):
         idx_sorted = lin_ext[order]
 
         def accum_chunk(upd_c, Cc):
-            """One extended-grid accumulation + 8-corner shifted reduce for
-            a chunk of Cc channels (bounds the [ex*ey*ez, 8*Cc] buffer —
-            at 36 channels a single pass would need ~5 GB)."""
+            """One extended-grid accumulation + 8-corner reduce for a chunk
+            of Cc channels (bounds the [ex*ey*ez, 8*Cc] buffer — at 36
+            channels a single pass would need ~5 GB)."""
             acc = sorted_window_accumulate(idx_sorted, upd_c,
                                            ex * ey * ez)
-            # Reduce the 8 corner channels by one shifted pairwise combine
-            # per axis (corner k = dx*4+dy*2+dz; dgrid[p] = sum_k
-            # acc[p+1-d_k]). Axis-at-a-time with fusion barriers: one big
-            # 8-slice fusion over the [ex*ey*ez, 8C] buffer crashes the
-            # TPU compile helper at 160^3 scale.
+            # Reduce the 8 packed corner copies onto their cells with FLAT
+            # row-shifted slices: dgrid[p, c] = sum_k acc[p + off_k,
+            # k*Cc + c] with off_k = ((1-dx)*ey + (1-dy))*ez + (1-dz).
+            # Valid because every read index decomposes in-range per axis
+            # (x+1-dx in [0, ex) etc.), so flat offsets never wrap — one
+            # fused pass reading each acc element exactly once (15.4 ms at
+            # 162^3 x 96 vs 68.5 ms for the axis-at-a-time shifted-slice
+            # reduce, whose (4, 2, Cc) trailing dims lane-pad badly, and
+            # 110.8 ms for a one-hot 2x2x2 MXU conv).
             acc = jax.lax.optimization_barrier(acc)
-            a = acc.reshape(ex, ey, ez, 4, 2, Cc)
-            a = (jax.lax.slice_in_dim(a, 1, 1 + sz, axis=2)[..., 0, :]
-                 + jax.lax.slice_in_dim(a, 0, sz, axis=2)[..., 1, :])
-            a = jax.lax.optimization_barrier(a).reshape(ex, ey, sz, 2, 2, Cc)
-            a = (jax.lax.slice_in_dim(a, 1, 1 + sy, axis=1)[..., 0, :]
-                 + jax.lax.slice_in_dim(a, 0, sy, axis=1)[..., 1, :])
-            a = jax.lax.optimization_barrier(a).reshape(ex, sy, sz, 1, 2, Cc)
-            a = (jax.lax.slice_in_dim(a, 1, 1 + sx, axis=0)[..., 0, :]
-                 + jax.lax.slice_in_dim(a, 0, sx, axis=0)[..., 1, :])
-            return a.reshape(-1, Cc)
+            n_cells = ex * ey * ez
+            maxoff = (ey + 1) * ez + 1
+            accp = jnp.concatenate(
+                [acc, jnp.zeros((maxoff, 8 * Cc), jnp.float32)], 0)
+            red = 0.0
+            for dx_ in (0, 1):
+                for dy_ in (0, 1):
+                    for dz_ in (0, 1):
+                        k = (dx_ * 2 + dy_) * 2 + dz_
+                        off = ((1 - dx_) * ey + (1 - dy_)) * ez + (1 - dz_)
+                        red = red + jax.lax.dynamic_slice(
+                            accp, (off, k * Cc), (n_cells, Cc))
+            return red.reshape(ex, ey, ez, Cc)[:sx, :sy, :sz].reshape(-1, Cc)
 
         CG = min(C, 12)                # channel chunk (memory bound)
         if C % CG:
