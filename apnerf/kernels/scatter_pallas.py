@@ -87,15 +87,24 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                 col = idx_scr[slot, s, :] - base
                 onehot = ((jax.lax.broadcasted_iota(jnp.int32,
                                                     (SUB, W_CELLS), 1)
-                           == col[:, None]) & ok[:, None])
-                # exact: 0/1 lhs-free matmul, fp32 accumulation on the MXU;
-                # [W, C] output order so the wrapper needs NO transposes
-                acc = acc + jax.lax.dot_general(
-                    onehot.astype(jnp.float32),
-                    upd_scr[slot, :, s * SUB:(s + 1) * SUB],
-                    dimension_numbers=(((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                           == col[:, None]) & ok[:, None]
+                          ).astype(jnp.bfloat16)
+                # Exact 0/1 matmul in 3 bf16 passes: the one-hot factor is
+                # exact in bf16, and the fp32 update splits exactly into
+                # hi+mid+lo bf16 terms (each residual subtraction is exact
+                # in fp32). Half the passes of Precision.HIGHEST, which
+                # 3-splits BOTH operands. [W, C] output order so the
+                # wrapper needs no transposes.
+                u = upd_scr[slot, :, s * SUB:(s + 1) * SUB]
+                u_hi = u.astype(jnp.bfloat16)
+                r1 = u - u_hi.astype(jnp.float32)
+                u_mid = r1.astype(jnp.bfloat16)
+                u_lo = (r1 - u_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                for u_part in (u_hi, u_mid, u_lo):
+                    acc = acc + jax.lax.dot_general(
+                        onehot, u_part,
+                        dimension_numbers=(((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
             out_ref[0, sw * W_CELLS:(sw + 1) * W_CELLS, :] += acc
             return 0
 
