@@ -225,6 +225,12 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         flags = jnp.asarray(acc > max(model_cfg.fast_color_thres, 1e-6))
         occ = compaction.build_occupancy_grid(flags)
         occ = compaction.build_occupancy_grid(occ)      # 2-cell dilation
+        if int(getattr(model_cfg, "occ_group", 1)) > 1:
+            # coarse-group centre testing (tineuvox.forward occ_group>1)
+            # probes occupancy once per group CENTRE; the group half-width
+            # is <= 1 cell (guarded in forward), so ONE extra dilation
+            # keeps the centre test conservative for every member sample
+            occ = compaction.build_occupancy_grid(occ)
         return occ
 
     def build_segment(params, model_cfg, occupancy_active):

@@ -52,6 +52,9 @@ def main():
     blob = (gx ** 2 + gy ** 2 + gz ** 2) < 0.45 ** 2
     occ = compaction.build_occupancy_grid(jnp.asarray(blob))
     occ = compaction.build_occupancy_grid(occ)
+    if int(getattr(cfg_model, "occ_group", 1)) > 1:
+        occ = compaction.build_occupancy_grid(occ)  # see stage1.refresh_occupancy
+
     frac = 0.25
     budget = int(N_rand * n_steps * frac)
     # same compile-safe rounding as stage1.build_segment (2^17 multiples)
