@@ -59,6 +59,36 @@ def _corner_tables(dims, i0, frac):
     return jnp.stack(lins, 1), jnp.stack(ws, 1)
 
 
+def _pack8_gather(dims, grid_flat, lin_ext):
+    """Gather all 8 trilinear corners of each sample with ONE row gather.
+
+    Builds a neighbourhood table over the EXTENDED grid, ``P [(sx+1)*
+    (sy+1)*(sz+1), 8*C] bf16``: row b = the 2x2x2 corner block of base
+    cell b-1 (per axis), i.e. exactly the corners ``_corner_tables``
+    addresses for a sample whose extended base cell is b — including the
+    one-cell-out-of-range cases, where the zero padding reproduces the
+    ``padding_mode='zeros'`` semantics. ``lin_ext`` (clip(i0+1)) is
+    already that base cell, so one 8C-channel bf16 row per sample
+    replaces eight C-channel fp32 gathers: the TPU gather cost is
+    dominated by row COUNT (PERF.md gather-floor playbook). The bf16
+    cast quantises the interpolated features — the consuming MLPs
+    already run bf16 activations (TiNeuVoxConfig.mlp_bf16); d/dgrid
+    stays fp32 (the backward scatter uses the fp32 weights and
+    cotangents, not these values).
+    """
+    sx, sy, sz = dims
+    C = grid_flat.shape[-1]
+    g = grid_flat.reshape(sx, sy, sz, C).astype(jnp.bfloat16)
+    gp = jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    ex, ey, ez = sx + 1, sy + 1, sz + 1
+    P = jnp.concatenate(
+        [gp[dx:dx + ex, dy:dy + ey, dz:dz + ez]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        axis=-1).reshape(ex * ey * ez, 8 * C)
+    vals8 = P[lin_ext]                                 # [M, 8C] bf16
+    return vals8.reshape(-1, 8, C).astype(jnp.float32)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _corner_gather(dims, grid_flat, w, lin, lin_ext):
     """sum_k grid_flat[lin[:, k]] * w[:, k, None] -> [M, C].
@@ -83,7 +113,12 @@ def _corner_gather_fwd(dims, grid_flat, w, lin, lin_ext):
     # save the gathered corner values: re-gathering them in the backward
     # costs another 8*M random rows at the TPU gather floor (~0.15 s/step
     # at stage-1 scale); the [M, 8, C] residual trades ~600 MB of HBM for it
-    vals = jnp.stack([grid_flat[lin[:, k]] for k in range(8)], axis=1)
+    from .knn import _tpu_default
+    import os
+    if _tpu_default() and os.environ.get("APNERF_PACK8", "1") == "1":
+        vals = _pack8_gather(dims, grid_flat, lin_ext)
+    else:
+        vals = jnp.stack([grid_flat[lin[:, k]] for k in range(8)], axis=1)
     out = (vals * w[:, :, None]).sum(1)
     return out, (vals, w, lin, lin_ext)
 

@@ -168,3 +168,38 @@ def test_scatter_kernel_matches_numpy():
     ref = np.zeros((G, C), np.float32)
     np.add.at(ref, idx, upd)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_pack8_gather_matches_corner_loop():
+    """The one-row-per-sample packed corner gather (APNERF_PACK8, TPU
+    forward path) must equal the 8-gather loop up to the bf16 value
+    quantisation, including at/-beyond the bbox faces."""
+    import jax
+    import jax.numpy as jnp
+    from apnerf.ops import grid as gridops
+
+    rng = np.random.default_rng(5)
+    s = (17, 13, 11)
+    C = 12
+    g = jnp.asarray(rng.normal(size=(*s, C)).astype(np.float32))
+    # samples spanning in-range, boundary, and out-of-range coords
+    u = rng.uniform(-1.5, np.asarray(s, np.float32), size=(4096, 3))
+    u[:64] = 0.0                                     # exactly at corner 0
+    u[64:128] = np.asarray(s, np.float32) - 1.0      # exactly at far corner
+    u = jnp.asarray(u.astype(np.float32))
+
+    out_pack = np.asarray(jax.jit(
+        lambda g, u: gridops._interp_at_indices(g, u))(g, u))
+
+    # reference: same math with the packed path disabled
+    os.environ["APNERF_PACK8"] = "0"
+    try:
+        out_loop = np.asarray(jax.jit(
+            lambda g, u: gridops._interp_at_indices(g, u))(g, u))
+    finally:
+        os.environ["APNERF_PACK8"] = "1"
+    np.testing.assert_allclose(out_pack, out_loop, rtol=1e-2, atol=1e-2)
+    # agreement must be at bf16 value resolution: |err| <= 2^-8 * |val|*8
+    err = np.abs(out_pack - out_loop)
+    scale = np.abs(out_loop) + 1.0
+    assert (err / scale).max() < 4e-2
