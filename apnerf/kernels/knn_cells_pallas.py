@@ -166,6 +166,115 @@ def build_point_tables(points, pts_per_tile: int = PTS):
     }
 
 
+def _count_kernel(qb, gb, pts, rt, r2, meta_ref, q_ref, p_hbm, oc_ref,
+                  p_scr, p_sem):
+    """Per-query count of candidate points with d2 <= r2 (no selection).
+
+    ONE distance pass per candidate tile — no key packing, no k extraction
+    passes — so ``count >= k`` decides the kth-neighbour radius cutoff
+    EXACTLY (every point within the radius lies in a candidate tile) at a
+    fraction of the full kernel's cost. Counts accumulate as a [qb, pts]
+    lane vector (elementwise adds); the cross-lane reduce happens once in
+    XLA on the partial-count output.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(p_hbm, p_scr, p_sem)
+        cp.start()
+        cp.wait()
+    p_ref = p_scr
+    for g in range(gb):
+        q = q_ref[g * qb:(g + 1) * qb]
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+        n = meta_ref[0, g, 0, 0]
+
+        def round_body(r, cnt):
+            for s in range(rt):
+                i = r * rt + s
+                tid = meta_ref[0, g, (i + 1) >> 7, (i + 1) & 127]
+                p = p_ref[tid]                      # [3, pts]
+                dx = qx - p[0:1, :]
+                dy = qy - p[1:2, :]
+                dz = qz - p[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz
+                cnt = cnt + jnp.where((d2 <= r2) & (i < n), 1, 0)
+            return cnt
+
+        n_rounds = (n + rt - 1) // rt
+        cnt = jax.lax.fori_loop(0, n_rounds, round_body,
+                                jnp.zeros((qb, pts), jnp.int32))
+        oc_ref[g * qb:(g + 1) * qb] = cnt
+
+
+def _prep_queries(qf, tables, radius2, qb, gb):
+    """Shared query padding/blocking + per-block candidate-tile metadata."""
+    t_lo = tables["t_lo"]
+    t_hi = tables["t_hi"]
+    T = t_lo.shape[0]
+    M = qf.shape[0]
+    mpad = (-M) % (qb * gb)
+    q = jnp.pad(qf, ((0, mpad), (0, 0)), constant_values=2e9)
+    NB = (M + mpad) // qb
+    NG = NB // gb
+    qblk = q.reshape(NB, qb, 3)
+    q_lo = qblk.min(1)
+    q_hi = qblk.max(1)
+    gap = jnp.maximum(jnp.maximum(q_lo[:, None, :] - t_hi[None],
+                                  t_lo[None] - q_hi[:, None, :]), 0.0)
+    cand = (gap * gap).sum(-1) < radius2            # [NB, T]
+    order = jnp.argsort(~cand, axis=1, stable=True).astype(jnp.int32)
+    cnt = cand.sum(1).astype(jnp.int32)
+    meta = jnp.concatenate([cnt[:, None], order], axis=1)
+    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NG, gb, 8, 128)
+    return meta, q, NG, NB
+
+
+@partial(jax.jit, static_argnames=("radius2", "sort_queries", "qb", "gb",
+                                   "rt"))
+def knn_count_pallas(queries, points, radius2: float = 0.01,
+                     sort_queries: bool = True, tables=None, qb: int = QB,
+                     gb: int = GB, rt: int = RT):
+    """Exact per-query count of points with d2 <= radius2 -> int32 [M].
+
+    ``count >= k`` is exactly the consumer's kth-neighbour radius cutoff
+    (reference lib/temporalpoints.py:440) with NO quantization band: the
+    counting pass compares exact fp32 distances. Use as a cheap phase-1
+    filter before the full selection kernel.
+    """
+    M = queries.shape[0]
+    qf = queries.astype(jnp.float32)
+    if tables is None:
+        tables = build_point_tables(points)
+    pts_t = tables["pts_t"]
+    T, _, pts_tile = pts_t.shape
+    if sort_queries:
+        from ..ops.knn import morton_codes
+        qperm = jnp.argsort(morton_codes(qf, tables["p_lo"], tables["p_hi"]))
+        qf = qf[qperm]
+    meta, q, NG, NB = _prep_queries(qf, tables, radius2, qb, gb)
+    out = pl.pallas_call(
+        partial(_count_kernel, qb, gb, pts_tile, rt, float(radius2)),
+        grid=(NG,),
+        in_specs=[
+            pl.BlockSpec((1, gb, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb * qb, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((gb * qb, pts_tile), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB * qb, pts_tile), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((T, 3, pts_tile), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+    )(meta, q, pts_t)
+    cnt = out[:M].sum(-1)
+    if sort_queries:
+        inv = jnp.argsort(qperm)
+        return cnt[inv]
+    return cnt
+
+
 @partial(jax.jit, static_argnames=("k", "radius2", "sort_queries",
                                    "remap_indices", "qb", "gb", "rt"))
 def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
@@ -204,30 +313,13 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     assert rt * pts_tile + 128 <= LMASK + 1, "lane bits overflow"
     ppad = T * pts_tile - P
 
-    # ---- queries: Morton sort (point-bbox normalised), pad, block bbox
+    # ---- queries: Morton sort (point-bbox normalised), pad, block bbox,
+    # candidate-tile metadata (exact under the radius bound)
     if sort_queries:
         from ..ops.knn import morton_codes
         qperm = jnp.argsort(morton_codes(qf, tables["p_lo"], tables["p_hi"]))
-        q = qf[qperm]
-    else:
-        q = qf
-    mpad = (-M) % (qb * gb)
-    q = jnp.pad(q, ((0, mpad), (0, 0)), constant_values=2e9)
-    NB = (M + mpad) // qb
-    NG = NB // gb
-    qblk = q.reshape(NB, qb, 3)
-    q_lo = qblk.min(1)
-    q_hi = qblk.max(1)
-
-    # ---- candidate tiles per block (exact under the radius bound) -----
-    gap = jnp.maximum(jnp.maximum(q_lo[:, None, :] - t_hi[None],
-                                  t_lo[None] - q_hi[:, None, :]), 0.0)
-    cand = (gap * gap).sum(-1) < radius2            # [NB, T]
-    order = jnp.argsort(~cand, axis=1, stable=True).astype(jnp.int32)
-    cnt = cand.sum(1).astype(jnp.int32)
-    # metadata row per block: slot 0 = count, slots 1..T = candidate tiles
-    meta = jnp.concatenate([cnt[:, None], order], axis=1)
-    meta = jnp.pad(meta, ((0, 0), (0, 1024 - 1 - T))).reshape(NG, gb, 8, 128)
+        qf = qf[qperm]
+    meta, q, NG, NB = _prep_queries(qf, tables, radius2, qb, gb)
 
     bw = rt * pts_tile + 128
     out = pl.pallas_call(

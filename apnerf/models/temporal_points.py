@@ -468,13 +468,12 @@ def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max,
             stepdist_ = cfg.stepsize * cfg.voxel_size
             thr = float((np.sqrt(query_radius)
                          + (c - 1) * stepdist_) ** 2)
-            d8g, _ = knn(jax.lax.stop_gradient(grep_s),
-                         jax.lax.stop_gradient(pcd), k=cfg.neighbours,
-                         radius2=thr, assume_sorted=True,
-                         point_tables=tables,
-                         sorted_point_idx=tables is not None,
-                         rt=cfg.knn_rt)
-            gkeep = d8g[:, -1] <= thr
+            from ..ops.knn import knn_count
+            gcnt = knn_count(jax.lax.stop_gradient(grep_s),
+                             jax.lax.stop_gradient(pcd),
+                             radius2=thr, assume_sorted=True,
+                             point_tables=tables, rt=cfg.knn_rt)
+            gkeep = gcnt >= cfg.neighbours
             G2 = int(G_act * cfg.group_pass_fraction)
             G2 = max(128, (G2 + 127) // 128 * 128)
             G2 = min(G2, G_act)
@@ -562,25 +561,25 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         cfg, pts, valid, bb_min, bb_max, pcd=t_hat_pcd, tables=tables,
         query_radius=query_radius)
     M_slots = q.shape[0]                  # <= M_act after the prefilter
-    d2, idx = knn(jax.lax.stop_gradient(q),
-                  jax.lax.stop_gradient(t_hat_pcd), k=K,
-                  radius2=float(query_radius), assume_sorted=True,
-                  point_tables=tables, sorted_point_idx=tables is not None,
-                  rt=cfg.knn_rt)
-    # radius cutoff on the kth neighbour (squared-distance semantics of the
-    # reference, lib/temporalpoints.py:440). The Pallas kernel's d2 are
-    # selection keys truncated to 11 mantissa bits (<= exact), so this
-    # preliminary test can accept rows whose true kth distance is up to
-    # 2^-11 relative beyond the radius; the aggregation below recomputes
-    # exact distances anyway ("kd2"), and the final cutoff uses them.
-    nn_ok = (d2[:, -1] <= query_radius) & act_ok
+    # ---- two-phase KNN (phase 1): count the points within the query
+    # radius — ``count >= K`` IS the reference's kth-neighbour radius
+    # cutoff (lib/temporalpoints.py:440), decided with exact fp32
+    # compares in ONE distance pass (~1/5 of the selection kernel, whose
+    # cost is the k extraction passes). Only the ~25-40% of samples that
+    # pass reach the full selection kernel below.
+    from ..ops.knn import knn_count
+    cnt = knn_count(jax.lax.stop_gradient(q),
+                    jax.lax.stop_gradient(t_hat_pcd),
+                    radius2=float(query_radius), assume_sorted=True,
+                    point_tables=tables, rt=cfg.knn_rt)
+    nn_ok = (cnt >= K) & act_ok
 
-    # ---- pass-compaction: only ~25% of active samples survive the radius
-    # cutoff on real workloads, and everything downstream (the [*, K]
-    # packed-row gathers — the dominant gather-floor term — and the
-    # aggregation MLP) is per-sample. Compact the survivors to a static
-    # pass budget so the expensive stage runs on M_pass, not M_act, slots.
-    # Morton order is preserved (monotone destinations).
+    # ---- pass-compaction: everything downstream (the k=8 selection
+    # kernel, the [*, K] packed-row gathers — the dominant gather-floor
+    # term — and the aggregation MLP) is per-sample. Compact the
+    # survivors to a static pass budget so the expensive stages run on
+    # M_pass, not M_act, slots. Morton order is preserved (monotone
+    # destinations; pad slots clamp to the last row, i.e. the tail).
     M_pass = int(M_act * cfg.pass_fraction)
     M_pass = max(1024, ((M_pass + 1023) // 1024) * 1024)
     M_pass = min(M_pass, M_slots)
@@ -594,13 +593,22 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         pass_ok = psrc < M_slots
         psl = jnp.minimum(psrc, M_slots - 1)
         q = q[psl]
-        idx = idx[psl]
         src = jnp.where(pass_ok, src[psl], M_full)
         n_slots = M_pass
     else:
         pass_ok = nn_ok
         src = jnp.where(nn_ok, src, M_full)
         n_slots = M_slots
+
+    # ---- two-phase KNN (phase 2): full k-selection on the survivors.
+    # The kernel's d2 are selection keys truncated to 11 mantissa bits;
+    # membership at the radius boundary is still decided exactly by the
+    # "kd2" recompute on the selected set below.
+    d2, idx = knn(jax.lax.stop_gradient(q),
+                  jax.lax.stop_gradient(t_hat_pcd), k=K,
+                  radius2=float(query_radius), assume_sorted=True,
+                  point_tables=tables, sorted_point_idx=tables is not None,
+                  rt=cfg.knn_rt)
 
     # sorted-index mode: ``idx`` indexes the Morton-SORTED point order, so
     # the [M_act, K] index-remap gather (runs at the TPU gather floor,

@@ -142,6 +142,46 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
     return jnp.maximum(best_d, 0.0), best_i
 
 
+@partial(jax.jit, static_argnames=("tile", "q_tile", "radius2",
+                                   "assume_sorted", "rt"))
+def knn_count(queries, points, radius2, tile: int = 2048,
+              q_tile: int = 16384, assume_sorted: bool = False,
+              point_tables=None, rt: int = 24):
+    """Per-query count of points with squared distance <= radius2 -> [M].
+
+    ``count >= k`` is EXACTLY the kth-neighbour radius cutoff the
+    reference applies downstream of its KNN (lib/temporalpoints.py:440)
+    — one distance pass decides it without any selection work, so this is
+    the cheap phase-1 of a two-phase KNN (count-filter, compact, then run
+    the full selection kernel on survivors only)."""
+    if _tpu_default():
+        from ..kernels.knn_cells_pallas import knn_count_pallas
+        return knn_count_pallas(queries, points, radius2=float(radius2),
+                                sort_queries=not assume_sorted,
+                                tables=point_tables, rt=rt)
+    queries = queries.astype(jnp.float32)
+    points, Ppad = _pad_points(points.astype(jnp.float32), tile)
+    pts_tiles = points.reshape(Ppad // tile, tile, 3)
+
+    def count_block(q):
+        def body(cnt, pts):
+            d2 = ((q[:, None, :] - pts[None]) ** 2).sum(-1)
+            return cnt + (d2 <= radius2).sum(-1).astype(jnp.int32), None
+        cnt, _ = jax.lax.scan(body, jnp.zeros((q.shape[0],), jnp.int32),
+                              pts_tiles)
+        return cnt
+
+    M = queries.shape[0]
+    if M <= q_tile:
+        return count_block(queries)
+    pad = (-M) % q_tile
+    if pad:
+        queries = jnp.concatenate(
+            [queries, jnp.full((pad, 3), 1e9, jnp.float32)], 0)
+    out = jax.lax.map(count_block, queries.reshape(-1, q_tile, 3))
+    return out.reshape(-1)[:M]
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def nn1(queries, points, tile: int = 2048):
     """1-NN squared distance + index (chamfer building block)."""

@@ -38,3 +38,15 @@ def test_occupancy_grid_dilation_and_lookup():
     pts = jnp.asarray([[4.5, 4.5, 4.5], [0.5, 0.5, 0.5], [9.0, 4.0, 4.0]])
     hit = np.asarray(C.occupancy_lookup_xyz(occ, xyz_min, xyz_max, pts))
     np.testing.assert_array_equal(hit, [True, False, False])
+
+
+def test_knn_count_portable_matches_bruteforce():
+    import jax.numpy as jnp
+    from apnerf.ops.knn import knn_count
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(513, 3)).astype(np.float32)
+    p = rng.normal(size=(777, 3)).astype(np.float32)
+    r2 = 0.2
+    cnt = np.asarray(knn_count(jnp.asarray(q), jnp.asarray(p), radius2=r2))
+    ref = (((q[:, None, :] - p[None]) ** 2).sum(-1) <= r2).sum(-1)
+    np.testing.assert_array_equal(cnt, ref)

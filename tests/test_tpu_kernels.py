@@ -203,3 +203,19 @@ def test_pack8_gather_matches_corner_loop():
     err = np.abs(out_pack - out_loop)
     scale = np.abs(out_loop) + 1.0
     assert (err / scale).max() < 4e-2
+
+
+def test_knn_count_matches_bruteforce():
+    import jax.numpy as jnp
+    from apnerf.kernels.knn_cells_pallas import (build_point_tables,
+                                                 knn_count_pallas)
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(4096, 3)).astype(np.float32)
+    p = rng.normal(size=(5000, 3)).astype(np.float32)
+    r2 = 0.05
+    tables = build_point_tables(jnp.asarray(p))
+    cnt = np.asarray(knn_count_pallas(jnp.asarray(q), jnp.asarray(p),
+                                      radius2=r2, tables=tables))
+    full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
+    ref = (full <= r2).sum(-1)
+    np.testing.assert_array_equal(cnt, ref)
