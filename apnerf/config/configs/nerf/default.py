@@ -107,7 +107,7 @@ pcd_model_and_render = dict(
     # samples fed to the KNN, occupancy-grid resolution. Defaults
     # tuned on the synthetic bench scene.
     sample_budget=192,
-    active_fraction=0.375,
+    active_fraction=0.30,
     occ_res=64,
     stepsize=0.5,
     world_bound_scale=1.05,

@@ -55,18 +55,24 @@ class TemporalPointsConfig:
     feat_depth: int = 4
     pose_embedding_dim: int = 0
     eps: float = 1e-6
+    # budget fractions: measured on the bench workload (scripts/
+    # sweep_render.py, PERF.md round 3) — at these values the render
+    # matches the untruncated-budget render at 51 dB PSNR (visually
+    # lossless) for 1.55x throughput; the stage-2 startup audit and the
+    # renderer's budget_audit warning surface any scene where demand
+    # exceeds these budgets.
     sample_budget: int = 192          # static per-ray samples after compaction
     max_steps: int = 512              # static pre-compaction sample count
-    active_fraction: float = 0.375    # global budget of samples fed to KNN
-    pass_fraction: float = 0.375      # of active budget, radius-cutoff passers
+    active_fraction: float = 0.30     # global budget of samples fed to KNN
+    pass_fraction: float = 0.30       # of active budget, radius-cutoff passers
     occ_res: int = 64                 # occupancy-grid resolution per axis
     occ_dilations: int = 2            # dilation rounds (finer cells=tighter)
     knn_pts_tile: int = 128           # KNN kernel points per tile (pow2)
     knn_rt: int = 24                  # KNN kernel tiles per selection round
-    group_pass_fraction: float = 0.625  # coarse-group k-NN prefilter budget
+    group_pass_fraction: float = 0.55   # coarse-group k-NN prefilter budget
                                         # (0 disables the prefilter)
     agg_bf16: bool = True             # half-width neighbour aggregation
-    coarse_stride: int = 8            # steps per occupancy-tested group
+    coarse_stride: int = 16           # steps per occupancy-tested group
 
     @property
     def t_dim(self):
@@ -770,6 +776,13 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         "rgb": scatter(agg["rgb"], 3).reshape(R, B, 3),
         "valid": valid_out,
         "step_id": step_id,
+        # budget audit [act_demand, act_granted, pass_demand,
+        # pass_granted]: demand above granted means the static budgets
+        # truncated samples on this chunk (renderers warn; the measured
+        # fidelity at the default fractions is in the config docstring)
+        "budget_audit": jnp.stack([
+            valid.sum().astype(jnp.int32), jnp.int32(M_act),
+            nn_ok.sum().astype(jnp.int32), jnp.int32(n_slots)]),
     }
     if render_pcd_direct:
         out["alpha_direct"] = scatter(agg["alpha_direct"]).reshape(R, B)
@@ -854,6 +867,7 @@ def forward(params, cfg: TemporalPointsConfig, state, rays_o, rays_d,
         "joints_rel": wout["joints_rel"],
         "joints_warped": wout["joints_warped"],
         "lbs_weights": wout["lbs_weights"],
+        "budget_audit": agg["budget_audit"],
     }
     if render_depth:
         out["depth"] = composite(weights, agg["step_id"])

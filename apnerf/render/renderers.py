@@ -69,7 +69,8 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
                          near=near, far=far, bg=bg, render_depth=True,
                          render_weights=render_weights,
                          render_pcd_direct=render_pcd_direct, frame=frame)
-        out = {"rgb_marched": res["rgb_marched"], "depth": res["depth"]}
+        out = {"rgb_marched": res["rgb_marched"], "depth": res["depth"],
+               "budget_audit": res["budget_audit"]}
         if render_pcd_direct and "rgb_marched_direct" in res:
             out["rgb_marched"] = res["rgb_marched_direct"]
         if render_weights:
@@ -88,6 +89,18 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
 
         def fn(ro, rd, vd):
             out = dict(chunk(frame, ro, rd, vd))
+            audit = out.pop("budget_audit")
+            if not for_view._audited:
+                # one chunk per render is audited (the readback syncs the
+                # pipeline, so don't pay it per chunk)
+                for_view._audited = True
+                audit = np.asarray(audit)
+                if audit[0] > audit[1] or audit[2] > audit[3]:
+                    print("render: budget audit — static sampling budgets "
+                          f"truncated (active {audit[0]}/{audit[1]}, "
+                          f"radius-pass {audit[2]}/{audit[3]}); raise "
+                          "active_fraction/pass_fraction if quality "
+                          "matters more than speed")
             if poses is not None and Ks is not None and i < len(poses):
                 j2 = tp.project_points(out["joints_warped"],
                                        jnp.asarray(poses[i]),
@@ -98,4 +111,5 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
             return out
         return fn
 
+    for_view._audited = False
     return for_view

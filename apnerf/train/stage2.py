@@ -50,8 +50,8 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
                      or int(cfg_model.get("sample_budget", 0))
                      or min(192, max_steps))
     sample_budget = min(sample_budget, max_steps)
-    active_fraction = float(cfg_model.get("active_fraction", 0.375))
-    pass_fraction = float(cfg_model.get("pass_fraction", 0.375))
+    active_fraction = float(cfg_model.get("active_fraction", 0.30))
+    pass_fraction = float(cfg_model.get("pass_fraction", 0.30))
     occ_res = int(cfg_model.get("occ_res", 64))
     occ_dilations = int(cfg_model.get("occ_dilations", 2))
 
