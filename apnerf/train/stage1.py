@@ -52,12 +52,18 @@ def compute_bbox_by_cam_frustrm(HW, Ks, poses, i_train, img_to_cam, near, far,
 def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
                     optimizer, Ks, poses, H, W, near, far, bg,
                     inverse_y=False, flip_x=False, flip_y=False,
-                    use_occupancy=False, active_budget=None):
+                    use_occupancy=False, active_budget=None,
+                    zero1_mesh=None, zero1_min_size=None):
     """Build the jitted stage-1 train step for one grid resolution.
 
     With ``use_occupancy`` the step takes an extra occupancy-volume arg and
     runs the sample pipeline under a static global ``active_budget`` (see
     tineuvox.forward) — the TPU replacement for the CUDA ragged filtering.
+
+    With ``zero1_mesh`` (a 1-D device mesh) the Adam moments are sharded
+    over the mesh (ZeRO-1): gradients are reduce-scattered, the update runs
+    shard-locally, and only the updated params are all-gathered — place
+    ``opt_state`` with ``parallel.mesh.put_zero1`` to match.
     """
     stepsize = float(cfg_train["_stepsize"])
     n_steps = cfg_model_static.max_steps(stepsize)
@@ -111,6 +117,19 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
         grads["feature"] = grads["feature"] + tv_on * tvg
         return grads
 
+    def apply_update(params, opt_state, grads):
+        if zero1_mesh is not None:
+            from ..parallel import mesh as pmesh
+            ms = (pmesh.ZERO1_MIN_SIZE if zero1_min_size is None
+                  else zero1_min_size)
+            grads = pmesh.constrain_zero1(grads, zero1_mesh, ms)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            params = pmesh.constrain_replicated(params, zero1_mesh)
+            opt_state = pmesh.constrain_zero1(opt_state, zero1_mesh, ms)
+        else:
+            params, opt_state = optimizer.update(grads, opt_state, params)
+        return params, opt_state
+
     if use_occupancy:
         @jax.jit
         def step(params, opt_state, batch, tv_on, occ, tv_dense=1.0):
@@ -120,7 +139,7 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
             # fusion barrier: grads fused into the Adam update tips the
             # 160^3 program over the TPU compiler's regalloc bug
             grads = jax.lax.optimization_barrier(grads)
-            params, opt_state = optimizer.update(grads, opt_state, params)
+            params, opt_state = apply_update(params, opt_state, grads)
             return params, opt_state, loss, mse
     else:
         @jax.jit
@@ -129,7 +148,7 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
                 params, batch, None)
             grads = add_tv_grad(params, grads, batch, tv_on, tv_dense)
             grads = jax.lax.optimization_barrier(grads)
-            params, opt_state = optimizer.update(grads, opt_state, params)
+            params, opt_state = apply_update(params, opt_state, grads)
             return params, opt_state, loss, mse
 
     return step

@@ -89,7 +89,7 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
 def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
                     optimizer, Ks, poses, H, W, near, far, bg,
                     n_chamfer_views: int, inverse_y=False, flip_x=False,
-                    flip_y=False):
+                    flip_y=False, zero1_mesh=None, zero1_min_size=None):
     w_render = float(cfg_train.get("weight_render", 0))
     w_arap = float(cfg_train.get("weight_arap", 0))
     w_tv = float(cfg_train.get("weight_tv", 0))
@@ -144,7 +144,18 @@ def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
     def step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
-        params, opt_state = optimizer.update(grads, opt_state, params)
+        if zero1_mesh is not None:
+            # ZeRO-1: reduce-scatter grads, shard-local Adam, all-gather
+            # params (see parallel.mesh.constrain_zero1)
+            from ..parallel import mesh as pmesh
+            ms = (pmesh.ZERO1_MIN_SIZE if zero1_min_size is None
+                  else zero1_min_size)
+            grads = pmesh.constrain_zero1(grads, zero1_mesh, ms)
+            params, opt_state = optimizer.update(grads, opt_state, params)
+            params = pmesh.constrain_replicated(params, zero1_mesh)
+            opt_state = pmesh.constrain_zero1(opt_state, zero1_mesh, ms)
+        else:
+            params, opt_state = optimizer.update(grads, opt_state, params)
         metrics["loss"] = loss
         return params, opt_state, metrics
 
