@@ -61,6 +61,29 @@ def build_model(P=10_000, J=24, F=128):
     return params, mcfg, state
 
 
+def _probe_backend(timeout_s: float = 180.0):
+    """Fail fast (with a diagnosable message) when the remote TPU tunnel is
+    down: backend init then HANGS indefinitely rather than erroring, which
+    would otherwise burn the whole driver timeout with no output."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        np.asarray(jax.numpy.ones((8, 8)).sum())
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        import sys
+        print(f"bench: backend unreachable after {timeout_s:.0f}s "
+              "(axon TPU tunnel down?) — aborting", file=sys.stderr)
+        os._exit(3)
+
+
 def main():
     import jax
     # persistent compile cache: TPU compiles through the remote AOT helper
@@ -71,6 +94,7 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    _probe_backend()
     import jax.numpy as jnp
     from apnerf.models import temporal_points as tp
 
