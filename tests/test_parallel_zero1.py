@@ -127,3 +127,113 @@ def test_put_zero1_placement():
     assert tuple(placed["small"].sharding.spec) == ()
     # nothing divisible: replicated, but still placed on the mesh
     assert tuple(placed["odd"].sharding.spec) == ()
+
+
+def test_zero1_stage2_matches_replicated():
+    """The stage-2 step has its own ZeRO-1 branch; verify numerics match
+    the replicated run and the step executes with sharded moments."""
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs 8 cpu devices")
+    from apnerf.models import temporal_points as tp
+    from apnerf.models import tineuvox as tnv
+    from apnerf.train import stage2
+    import apnerf.ops.nn as onn
+
+    mesh = Mesh(np.array(devices[:8]), (pmesh.RAY_AXIS,))
+    P_pts, J, F = 96, 5, 8
+    rng = np.random.default_rng(1)
+    pcd = rng.normal(size=(P_pts, 3)).astype(np.float32) * 0.3
+    joints = rng.normal(size=(J, 3)).astype(np.float32) * 0.3
+    bones = [[0, 1], [1, 2], [0, 3], [3, 4]]
+    feat = rng.normal(size=(P_pts, F)).astype(np.float32)
+    mcfg = tp.TemporalPointsConfig(
+        n_points=P_pts, n_joints=J, feat_dim=F, neighbours=4,
+        timebase_pe=2, posbase_pe=4, viewbase_pe=2, stepsize=0.5,
+        voxel_size=0.125, voxel_size_ratio=1.0, act_shift=-6.9,
+        sample_budget=16, max_steps=64)
+    k = jax.random.PRNGKey(2)
+    ks = jax.random.split(k, 3)
+    tnv_params = {
+        "rgbnet": tnv.init_rgbnet(ks[0], F, mcfg.views_ch),
+        "densitynet": onn.init_mlp(ks[1], [F, 1]),
+        "timenet": onn.init_mlp(ks[2], [mcfg.t_dim, 16, F]),
+    }
+    params0 = tp.init_params(jax.random.PRNGKey(3), mcfg, pcd, joints, bones,
+                             feat, np.ones(P_pts, np.float32) * 0.5,
+                             np.ones((P_pts, 3), np.float32) * 0.5,
+                             tnv_params)
+    state = tp.init_state(mcfg, pcd, joints, bones, pcd[:16],
+                          pcd.min(0) - 0.2, pcd.max(0) + 0.2)
+    st2 = {k2: v for k2, v in state.items()
+           if k2 != "bones" and v is not None}
+    st2["bones"] = state["bones"]
+    st2["frozen_view_dir"] = None
+    cfg2 = {
+        "lrate_decay": 160, "weight_render": 2e2, "weight_arap": 5e-3,
+        "weight_tv": 1e1, "weight_sparsity": 2e-1,
+        "weight_transformation_reg": 1e-1, "weight_joint_chamfer": 1.0,
+        "weight_chamfer2D": 5e-3, "lrate_rgbnet": 1e-4,
+        "lrate_densitynet": 1e-4, "lrate_canonical_feat": 1e-4,
+        "lrate_gammas": 1e-3, "lrate_weights": 1e-4,
+        "lrate_theta_weight": 1e-4, "lrate_forward_warp": 1e-4,
+        "lrate_joints": 1e-5, "lrate_feat_net": 1e-3,
+        "skip_zero_grad_fields": [],
+    }
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[:, 2, 3] = 3.0
+    Kc = np.array([[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1]], np.float32)
+    Ks = jnp.asarray(np.stack([Kc, Kc]))
+    poses_j = jnp.asarray(poses)
+    B = 64
+    batch_np = {
+        "rgb": np.ones((B, 3), np.float32) * 0.5,
+        "mask": np.ones(B, np.float32),
+        "t": np.float32(0.25),
+        "cam": (np.arange(B) % 2).astype(np.int32),
+        "pix": rng.integers(0, 32 * 32, B).astype(np.int32),
+        "sparsity_on": np.float32(1.0),
+        "chamfer_poses": poses_j,
+        "chamfer_Ks": Ks,
+        "chamfer_mask_pts": jnp.asarray(
+            rng.uniform(0, 32, (2, 64, 2)).astype(np.float32)),
+        "chamfer_pcd_idx": jnp.asarray(
+            rng.integers(0, P_pts, 64).astype(np.int32)),
+    }
+
+    from apnerf.train.masked_adam import create_optimizer
+
+    def run(zero1):
+        opt = create_optimizer(params0, cfg2)
+        p = pmesh.put_replicated(params0, mesh)
+        st = pmesh.put_replicated(
+            {k2: v for k2, v in st2.items()
+             if k2 not in ("bones", "frozen_view_dir")}, mesh)
+        st["bones"] = st2["bones"]
+        st["frozen_view_dir"] = None
+        os_ = opt.init(params0)
+        kw = {}
+        if zero1:
+            os_ = pmesh.put_zero1(os_, mesh, min_size=64)
+            kw = dict(zero1_mesh=mesh, zero1_min_size=64)
+        else:
+            os_ = pmesh.put_replicated(os_, mesh)
+        step = stage2.make_train_step(
+            mcfg, st, cfg2, opt, pmesh.put_replicated(Ks, mesh),
+            pmesh.put_replicated(poses_j, mesh), 32, 32, 0.5, 6.0, 1.0,
+            n_chamfer_views=2, **kw)
+        b = pmesh.put_ray_sharded(dict(batch_np), mesh)
+        losses = []
+        for _ in range(2):
+            p, os_, metrics = step(p, os_, b)
+            losses.append(float(metrics["loss"]))
+        return p, os_, losses
+
+    p_rep, _, losses_rep = run(zero1=False)
+    p_z, os_z, losses_z = run(zero1=True)
+    np.testing.assert_allclose(losses_z, losses_rep, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_z["canonical_feat"]), np.asarray(p_rep["canonical_feat"]),
+        rtol=2e-5, atol=1e-6)
+    # moments sharded: canonical_feat [96, 8] with min_size 64 -> P('rays')
+    assert pmesh.RAY_AXIS in tuple(os_z.mu["canonical_feat"].sharding.spec)
