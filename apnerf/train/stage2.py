@@ -54,6 +54,11 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
     pass_fraction = float(cfg_model.get("pass_fraction", 0.30))
     occ_res = int(cfg_model.get("occ_res", 64))
     occ_dilations = int(cfg_model.get("occ_dilations", 2))
+    dflt = tp.TemporalPointsConfig
+    coarse_stride = int(cfg_model.get("coarse_stride",
+                                      dflt.coarse_stride))
+    group_pass_fraction = float(cfg_model.get("group_pass_fraction",
+                                              dflt.group_pass_fraction))
 
     mcfg = tp.TemporalPointsConfig(
         n_points=len(pcd), n_joints=len(joints),
@@ -74,6 +79,8 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         pose_embedding_dim=int(cfg_train.pose_embedding_dim),
         sample_budget=int(sample_budget), max_steps=int(max_steps),
         active_fraction=active_fraction, pass_fraction=pass_fraction,
+        coarse_stride=coarse_stride,
+        group_pass_fraction=group_pass_fraction,
         occ_res=occ_res, occ_dilations=occ_dilations)
 
     key = jax.random.PRNGKey(seed)

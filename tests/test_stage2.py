@@ -366,3 +366,53 @@ def test_batch_chamfer_2d():
     b = jnp.asarray(np.ones((2, 5, 2), np.float32))
     val = float(tp.batch_chamfer_2d(a, b))
     np.testing.assert_allclose(val, 4.0, rtol=1e-5)   # 2 + 2
+
+
+def test_budget_knobs_flow_from_config():
+    """coarse_stride / group_pass_fraction / active_fraction /
+    pass_fraction set in pcd_model_and_render must reach the built
+    TemporalPointsConfig (no silent no-op keys)."""
+    import jax
+    import apnerf.ops.nn as onn
+    from apnerf.config.config import load_config
+    from apnerf.models import tineuvox as tnv
+    from apnerf.train import stage2
+
+    cfg = load_config("apnerf/config/configs/nerf/jumpingjacks.py")
+    cfg.pcd_model_and_render.coarse_stride = 4
+    cfg.pcd_model_and_render.group_pass_fraction = 0.25
+    cfg.pcd_model_and_render.active_fraction = 0.5
+    cfg.pcd_model_and_render.pass_fraction = 0.4
+    cfg.pcd_model_and_render.sample_budget = 16
+
+    P, J, F = 64, 4, 8
+    rng = np.random.default_rng(0)
+    pcd = rng.normal(size=(P, 3)).astype(np.float32) * 0.3
+    joints = rng.normal(size=(J, 3)).astype(np.float32) * 0.3
+    canonical = {
+        "pcd": pcd, "feat": rng.normal(size=(P, F)).astype(np.float32),
+        "alphas": np.full(P, 0.5, np.float32),
+        "rgbs": np.full((P, 3), 0.5, np.float32),
+        "xyz_min": pcd.min(0) - 0.2, "xyz_max": pcd.max(0) + 0.2,
+        "voxel_size": 0.125,
+    }
+    skeleton = {"joints": joints, "bones": [[0, 1], [1, 2], [2, 3]],
+                "skeleton_pcd": pcd[:8]}
+    tcfg = tnv.TiNeuVoxConfig(
+        xyz_min=(-1, -1, -1), xyz_max=(1, 1, 1), num_voxels=8 ** 3,
+        num_voxels_base=8 ** 3, voxel_dim=F, defor_depth=2, net_width=F,
+        posbase_pe=4, viewbase_pe=2, timebase_pe=2, gridbase_pe=1,
+        alpha_init=1e-3)
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 3)
+    tnv_params = {
+        "rgbnet": tnv.init_rgbnet(ks[0], F, tcfg.views_ch),
+        "densitynet": onn.init_mlp(ks[1], [F, 1]),
+        "timenet": onn.init_mlp(ks[2], [1 + 2 * tcfg.timebase_pe, 16, F]),
+    }
+    mcfg, params, state = stage2.build_model(
+        cfg, canonical, skeleton, tnv_params, tcfg)
+    assert mcfg.coarse_stride == 4
+    assert mcfg.group_pass_fraction == 0.25
+    assert mcfg.active_fraction == 0.5
+    assert mcfg.pass_fraction == 0.4
