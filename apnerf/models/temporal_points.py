@@ -73,6 +73,16 @@ class TemporalPointsConfig:
                                         # (0 disables the prefilter)
     agg_bf16: bool = True             # half-width neighbour aggregation
     coarse_stride: int = 16           # steps per occupancy-tested group
+    # subgroup-shared KNN: select ``knn_cand`` candidates ONCE per
+    # ``knn_share`` consecutive ray samples (one packed-row gather per
+    # subgroup), then each sample takes its exact top-8-of-candidates in
+    # registers. Error is one-sided: a sample is never accepted that the
+    # exact path rejects; it can be rejected (or weighted without a far
+    # neighbour) only when its true kth neighbour is outside the
+    # subgroup representative's ``knn_cand`` nearest. 1 = off (exact
+    # per-sample two-phase KNN path).
+    knn_share: int = 1
+    knn_cand: int = 12
 
     @property
     def t_dim(self):
@@ -537,6 +547,251 @@ def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max,
     return q, src, act_ok, group_expand
 
 
+def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
+                               t_hat_pcd, inv_rot, viewdirs, q, src, act_ok,
+                               R, B, M_full, M_act, query_radius, tables,
+                               act_demand, pose_embedding=None,
+                               render_pcd_direct=False, render_weights=False,
+                               lbs_weights=None):
+    """Subgroup-shared KNN aggregation (``cfg.knn_share > 1``).
+
+    Candidates are selected ONCE per subgroup of ``share`` consecutive ray
+    samples: the selection kernel runs on subgroup representatives with
+    ``k' = cfg.knn_cand``, subgroups are pass-compacted on the rep's
+    kth-neighbour distance at an enlarged radius (conservative — mirrors
+    the group prefilter of compact_active), ONE packed row gather fetches
+    the k' candidates per subgroup, and every member takes its exact
+    top-k-of-k' (rank mask) with per-sample distances. Error is
+    one-sided vs the exact per-sample path (reference
+    lib/temporalpoints.py:432-444): a sample can only be *rejected* (or
+    lose a far neighbour) when its true kth neighbour is not among the
+    rep's k' nearest; it is never accepted with a kth distance beyond the
+    radius. Cost: selection queries /share, gather rows ~ share*k/k'
+    fewer, and the phase-1 counting kernel disappears.
+    """
+    K = cfg.neighbours
+    kc = int(cfg.knn_cand)
+    share = int(cfg.knn_share)
+    assert kc >= K
+    M_slots = q.shape[0]
+    G_sub = M_slots // share
+    stepdist = cfg.stepsize * cfg.voxel_size
+    span = (share - 1) * stepdist
+    r2_sel = float((np.sqrt(query_radius) + span) ** 2)
+
+    # subgroup representative: elementwise min over members (invalid
+    # member slots carry the 1e9 sentinel and lose the min; all-invalid
+    # subgroups keep 1e9 and fail the pass test)
+    reps = q.reshape(G_sub, share, 3).min(1)
+    d2r, idx = knn(jax.lax.stop_gradient(reps),
+                   jax.lax.stop_gradient(t_hat_pcd), k=kc,
+                   radius2=r2_sel, assume_sorted=True, point_tables=tables,
+                   sorted_point_idx=tables is not None, rt=cfg.knn_rt)
+
+    # ---- subgroup pass-compaction: the rep's kth neighbour beyond the
+    # enlarged radius means NO member can pass the sample-level cutoff
+    # (|member - rep| <= span). Budgeted like pass_fraction (fraction of
+    # the active-sample budget reaching aggregation).
+    sub_ok = d2r[:, K - 1] <= r2_sel
+    S_pass = max(128, int(M_act * cfg.pass_fraction) // share)
+    S_pass = ((S_pass + 127) // 128) * 128
+    S_pass = min(S_pass, G_sub)
+    if S_pass < G_sub:
+        ppos = jnp.cumsum(sub_ok) - 1
+        keep = sub_ok & (ppos < S_pass)
+        pdest = jnp.where(keep, ppos, S_pass)
+        psrc = jnp.full((S_pass + 1,), G_sub, jnp.int32)
+        psrc = psrc.at[pdest].set(jnp.arange(G_sub, dtype=jnp.int32),
+                                  mode="drop")[:S_pass]
+        pass_ok_sub = psrc < G_sub
+        psl = jnp.minimum(psrc, G_sub - 1)
+        # subgroup-granularity gathers: S_pass rows each
+        q_sub = q.reshape(G_sub, share * 3)[psl].reshape(S_pass, share, 3)
+        src_sub = jnp.where(pass_ok_sub[:, None],
+                            src.reshape(G_sub, share)[psl], M_full)
+        idx = idx[psl]
+        d2r = d2r[psl]
+        ok_sub = act_ok.reshape(G_sub, share)[psl] & pass_ok_sub[:, None]
+        pass_demand = sub_ok.sum().astype(jnp.int32) * share
+    else:
+        q_sub = q.reshape(G_sub, share, 3)
+        src_sub = jnp.where(sub_ok[:, None], src.reshape(G_sub, share),
+                            M_full)
+        ok_sub = act_ok.reshape(G_sub, share) & sub_ok[:, None]
+        pass_demand = sub_ok.sum().astype(jnp.int32) * share
+        S_pass = G_sub
+    # candidate validity: slots beyond the rep's within-radius neighbour
+    # count come back as sentinels with ARBITRARY indices — a real point
+    # could appear twice among the candidates. Mask them out of the
+    # per-sample ranking so no member double-counts a neighbour.
+    cand_valid = d2r <= r2_sel                       # [S_pass, kc]
+
+    # ---- per-point source tables (identical packing to the exact path)
+    if tables is not None:
+        perm = tables["perm"]
+        Pp = tables["pts_sorted"].shape[0]
+
+        def permute(arr):
+            out = arr[perm]
+            pad = Pp - out.shape[0]
+            if pad:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((pad, *out.shape[1:]), out.dtype)], 0)
+            return out
+    else:
+        def permute(arr):
+            return arr
+
+    if cfg.no_view_dir:
+        views_emb = None
+    elif state["frozen_view_dir"] is not None:
+        ve = encoding.poc_fre(state["frozen_view_dir"],
+                              encoding.poc_freqs(cfg.viewbase_pe))
+        views_emb = jnp.broadcast_to(ve[None, None],
+                                     (S_pass, share, ve.shape[-1]))
+    else:
+        ve = encoding.poc_fre(viewdirs, encoding.poc_freqs(cfg.viewbase_pe))
+        ray_of = jnp.minimum(src_sub // B, R - 1)          # [S_pass, share]
+        views_emb = ve[ray_of.reshape(-1)].reshape(S_pass, share, -1)
+
+    from .tineuvox import apply_rgbnet
+    interval = cfg.stepsize * cfg.voxel_size_ratio
+    sig_all = permute(state["mean_min_distance"]
+                      * jnp.maximum(params["direct_eps"], 0.0))
+    geo_src = jnp.concatenate(
+        [permute(t_hat_pcd),
+         permute(inv_rot.reshape(inv_rot.shape[0], 9))], axis=-1)
+    pack_all = cfg.agg_bf16
+    if cfg.agg_bf16:
+        feat_src = permute(params["canonical_feat"].astype(jnp.bfloat16))
+        featnet_p = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params["feat_net"])
+    else:
+        feat_src = permute(params["canonical_feat"])
+        featnet_p = params["feat_net"]
+    if pack_all:
+        geo_bf = jax.lax.bitcast_convert_type(
+            geo_src, jnp.bfloat16).reshape(geo_src.shape[0], 24)
+        packed_src = jnp.concatenate([geo_bf, feat_src], axis=-1)
+
+    lbs_src = None if lbs_weights is None else permute(lbs_weights)
+    cand_ar = jnp.arange(kc, dtype=jnp.int32)
+
+    def block_fn(args):
+        """Aggregation for one block of SUBGROUPS: [blk, share, k']."""
+        qb, idxb, cvb, veb = args                    # [blk, share, 3] etc.
+        if pack_all:
+            pk = packed_src[idxb]                    # [blk, k', 24+F]
+            geo = jax.lax.bitcast_convert_type(
+                pk[..., :24].reshape(*pk.shape[:2], 12, 2), jnp.float32)
+            feat_k = pk[..., 24:]
+        else:
+            geo = geo_src[idxb]
+            feat_k = feat_src[idxb]
+        nbr = geo[..., :3]                           # [blk, k', 3]
+        rel_p = qb[:, :, None, :] - nbr[:, None, :, :]   # [blk, share, k', 3]
+        to_nn = (rel_p ** 2).sum(-1)                 # [blk, share, k']
+        to_nn = jnp.where(cvb[:, None, :], to_nn, jnp.inf)
+        # exact per-sample top-K-of-k' via a rank mask (ties broken by
+        # candidate position — a deterministic total order, so exactly K
+        # candidates are selected whenever >= K are valid)
+        less = (to_nn[..., :, None] > to_nn[..., None, :]) | (
+            (to_nn[..., :, None] == to_nn[..., None, :])
+            & (cand_ar[:, None] > cand_ar[None, :]))
+        rank = less.sum(-1)                          # [blk, share, k']
+        top = rank < K
+        kd2 = jnp.max(jnp.where(top, to_nn, -jnp.inf), axis=-1)
+        w = jnp.where(top, 1.0 / (to_nn + cfg.eps), 0.0)
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-30)
+        rot_k = geo[..., 3:].reshape(geo.shape[0], kc, 3, 3)
+        rel_canon = jnp.einsum("mkab,mskb->mska", rot_k, rel_p,
+                               precision=HIGH)
+        rel_emb = encoding.poc_fre(rel_canon,
+                                   encoding.poc_freqs(cfg.posbase_pe))
+        in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
+        feat_in = [rel_emb.astype(in_dt),
+                   jnp.broadcast_to(feat_k[:, None],
+                                    (*rel_emb.shape[:3], feat_k.shape[-1]))]
+        if pose_embedding is not None:
+            pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, 1, -1),
+                                  (*rel_emb.shape[:3], pose_embedding.size))
+            feat_in.append(pe.astype(in_dt))
+        h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
+                     activation=nn.leaky_relu, final_activation=nn.leaky_relu)
+        h = (h_k.astype(jnp.float32) * w[..., None]).sum(2)  # [blk, share, F]
+        density = nn.mlp(params["densitynet"], h)[..., 0]
+        alpha = raw2alpha(density, cfg.act_shift, interval)
+        rgb = jax.nn.sigmoid(apply_rgbnet(
+            params["rgbnet"], h, veb))
+        res = {"alpha": alpha, "rgb": rgb, "kd2": kd2}
+        if render_pcd_direct:
+            sig = sig_all[idxb][:, None, :]          # [blk, 1, k']
+            w_dir = jnp.where(top, jnp.exp(-(to_nn ** 2)
+                                           / (2.0 * sig ** 2 + 1e-12)), 0.0)
+            w_dir_col = w_dir / (w_dir.sum(-1, keepdims=True) + 1e-12)
+            a_k = permute(jnp.clip(params["canonical_alpha"], 0, 1))[idxb]
+            c_k = permute(jnp.clip(params["canonical_rgbs"], 0, 1))[idxb]
+            res["alpha_direct"] = (w_dir / K * a_k[:, None, :]).sum(-1)
+            res["rgb_direct"] = (w_dir_col[..., None]
+                                 * c_k[:, None, :, :]).sum(2)
+        if render_weights and lbs_weights is not None:
+            lw = lbs_src[idxb]                       # [blk, k', J]
+            res["lbs_w"] = (lw[:, None] * w[..., None]).sum(2)
+        return res
+
+    blk = min(4096, S_pass)
+    while S_pass % blk != 0 and blk > 128:
+        blk //= 2
+    if S_pass % blk == 0 and S_pass > blk:
+        nb = S_pass // blk
+        args = (q_sub.reshape(nb, blk, share, 3),
+                idx.reshape(nb, blk, kc),
+                cand_valid.reshape(nb, blk, kc),
+                None if views_emb is None
+                else views_emb.reshape(nb, blk, share, -1))
+        if views_emb is None:
+            mapped = jax.lax.map(
+                lambda a: block_fn((a[0], a[1], a[2], None)),
+                (args[0], args[1], args[2]))
+        else:
+            mapped = jax.lax.map(block_fn, args)
+        agg = {k2: v.reshape(S_pass, *v.shape[2:])
+               for k2, v in mapped.items()}
+    else:
+        agg = block_fn((q_sub, idx, cand_valid, views_emb))
+
+    # ---- scatter back to the dense [R, B] layout (per SAMPLE) ---------
+    n_samp = S_pass * share
+    ok_flat = ok_sub.reshape(n_samp)
+    kd2 = agg["kd2"].reshape(n_samp)
+    src_flat = src_sub.reshape(n_samp)
+    dst = jnp.where(ok_flat & (kd2 <= query_radius), src_flat, M_full)
+
+    def scatter(x, width=None):
+        x = x.reshape(n_samp, *x.shape[2:])
+        shape = (M_full + 1,) if width is None else (M_full + 1, width)
+        out = jnp.zeros(shape, x.dtype).at[dst].set(x, mode="drop")
+        return out[:M_full]
+
+    valid_out = jnp.zeros(M_full + 1, bool).at[dst].set(
+        True, mode="drop")[:M_full].reshape(R, B)
+    out = {
+        "alpha": scatter(agg["alpha"]).reshape(R, B),
+        "rgb": scatter(agg["rgb"], 3).reshape(R, B, 3),
+        "valid": valid_out,
+        "budget_audit": jnp.stack([
+            act_demand, jnp.int32(M_act),
+            pass_demand, jnp.int32(n_samp)]),
+    }
+    if render_pcd_direct:
+        out["alpha_direct"] = scatter(agg["alpha_direct"]).reshape(R, B)
+        out["rgb_direct"] = scatter(agg["rgb_direct"], 3).reshape(R, B, 3)
+    if render_weights and lbs_weights is not None:
+        J = lbs_weights.shape[-1]
+        out["lbs_w"] = scatter(agg["lbs_w"], J).reshape(R, B, J)
+    return out
+
+
 def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
                   inv_rot, rays_o, rays_d, viewdirs, near, far,
                   query_radius, pose_embedding=None, render_pcd_direct=False,
@@ -566,6 +821,18 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
     q, src, act_ok, group_expand = compact_active(
         cfg, pts, valid, bb_min, bb_max, pcd=t_hat_pcd, tables=tables,
         query_radius=query_radius)
+    share = int(cfg.knn_share)
+    if (share > 1 and group_expand is not None
+            and group_expand[1] % share == 0):
+        out = _aggregate_subgroup_shared(
+            params, cfg, state, t_hat_pcd, inv_rot, viewdirs, q, src,
+            act_ok, R, B, M_full, M_act, query_radius, tables,
+            act_demand=valid.sum().astype(jnp.int32),
+            pose_embedding=pose_embedding,
+            render_pcd_direct=render_pcd_direct,
+            render_weights=render_weights, lbs_weights=lbs_weights)
+        out["step_id"] = step_id
+        return out
     M_slots = q.shape[0]                  # <= M_act after the prefilter
     # ---- two-phase KNN (phase 1): count the points within the query
     # radius — ``count >= K`` IS the reference's kth-neighbour radius

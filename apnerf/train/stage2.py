@@ -59,6 +59,8 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
                                       dflt.coarse_stride))
     group_pass_fraction = float(cfg_model.get("group_pass_fraction",
                                               dflt.group_pass_fraction))
+    knn_share = int(cfg_model.get("knn_share", dflt.knn_share))
+    knn_cand = int(cfg_model.get("knn_cand", dflt.knn_cand))
 
     mcfg = tp.TemporalPointsConfig(
         n_points=len(pcd), n_joints=len(joints),
@@ -81,6 +83,7 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         active_fraction=active_fraction, pass_fraction=pass_fraction,
         coarse_stride=coarse_stride,
         group_pass_fraction=group_pass_fraction,
+        knn_share=knn_share, knn_cand=knn_cand,
         occ_res=occ_res, occ_dilations=occ_dilations)
 
     key = jax.random.PRNGKey(seed)

@@ -44,7 +44,10 @@ def build_model(P=10_000, J=24, F=128):
         timebase_pe=8, posbase_pe=10, viewbase_pe=4,
         stepsize=0.5, voxel_size=0.012, voxel_size_ratio=1.0,
         act_shift=float(np.log(1 / (1 - 1e-3) - 1)),
-        fast_color_thres=1e-4, sample_budget=96, max_steps=512)
+        fast_color_thres=1e-4, sample_budget=96, max_steps=512,
+        # A/B knobs for the subgroup-shared KNN path (docs/performance.md)
+        knn_share=int(os.environ.get("APNERF_KNN_SHARE", "1")),
+        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "12")))
 
     k = jax.random.PRNGKey(0)
     ks = jax.random.split(k, 3)

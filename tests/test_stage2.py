@@ -384,6 +384,8 @@ def test_budget_knobs_flow_from_config():
     cfg.pcd_model_and_render.active_fraction = 0.5
     cfg.pcd_model_and_render.pass_fraction = 0.4
     cfg.pcd_model_and_render.sample_budget = 16
+    cfg.pcd_model_and_render.knn_share = 2
+    cfg.pcd_model_and_render.knn_cand = 10
 
     P, J, F = 64, 4, 8
     rng = np.random.default_rng(0)
@@ -416,3 +418,58 @@ def test_budget_knobs_flow_from_config():
     assert mcfg.group_pass_fraction == 0.25
     assert mcfg.active_fraction == 0.5
     assert mcfg.pass_fraction == 0.4
+    assert mcfg.knn_share == 2
+    assert mcfg.knn_cand == 10
+
+
+def _fwd(params, mcfg, state, seed=3, **kw):
+    rng = np.random.default_rng(seed)
+    state = dict(state)
+    ro = np.tile(np.asarray(state["canonical_pcd"]).mean(0) + [0, 0, 2.0],
+                 (16, 1)).astype(np.float32)
+    rd = np.tile([[0.0, 0.0, -1.0]], (16, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.08, 0.08, 16)
+    return tp.forward(params, mcfg, state, jnp.asarray(ro), jnp.asarray(rd),
+                      jnp.asarray(rd), t=jnp.float32(0.3), near=0.1,
+                      far=10.0, bg=1.0, query_radius=0.05, **kw)
+
+
+def test_knn_share_full_candidates_matches_exact():
+    """With knn_cand = n_points every sample's true k-NN set is among the
+    shared candidates, so the subgroup-shared path must reproduce the
+    exact per-sample path (up to fp summation order)."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    base = _fwd(params, mcfg, state, render_pcd_direct=True)
+    mcfg_s = dataclasses.replace(mcfg, knn_share=4, knn_cand=mcfg.n_points)
+    shared = _fwd(params, mcfg_s, state, render_pcd_direct=True)
+    for key in ("rgb_marched", "alphainv_last", "rgb_marched_direct"):
+        if key not in base:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(shared[key]), np.asarray(base[key]),
+            rtol=2e-4, atol=2e-4, err_msg=key)
+
+
+def test_knn_share_small_candidates_close_and_trainable():
+    """kc = 12 shared candidates: the approximation must stay visually
+    small on the toy scene and gradients must flow."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    base = _fwd(params, mcfg, state)
+    mcfg_s = dataclasses.replace(mcfg, knn_share=4, knn_cand=12)
+    shared = _fwd(params, mcfg_s, state)
+    diff = np.abs(np.asarray(shared["rgb_marched"])
+                  - np.asarray(base["rgb_marched"]))
+    assert np.isfinite(np.asarray(shared["rgb_marched"])).all()
+    assert diff.mean() < 0.02, diff.mean()
+
+    def loss_fn(p):
+        out = _fwd(p, mcfg_s, state)
+        return (out["rgb_marched"] ** 2).mean() + out["lbs_weights"].sum() * 0
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
+    assert np.isfinite(gsum) and gsum > 0
