@@ -576,13 +576,19 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
     M_slots = q.shape[0]
     G_sub = M_slots // share
     stepdist = cfg.stepsize * cfg.voxel_size
+    # members are consecutive steps on one ray: the AABB midpoint of the
+    # valid members is within span/2 of every member, halving the radius
+    # enlargement the conservative pass test needs (vs a corner rep)
     span = (share - 1) * stepdist
-    r2_sel = float((np.sqrt(query_radius) + span) ** 2)
+    r2_sel = float((np.sqrt(query_radius) + span / 2.0) ** 2)
 
-    # subgroup representative: elementwise min over members (invalid
-    # member slots carry the 1e9 sentinel and lose the min; all-invalid
-    # subgroups keep 1e9 and fail the pass test)
-    reps = q.reshape(G_sub, share, 3).min(1)
+    qg = q.reshape(G_sub, share, 3)
+    ok_g = act_ok.reshape(G_sub, share)[..., None]
+    lo = jnp.where(ok_g, qg, 1e9).min(1)
+    hi = jnp.where(ok_g, qg, -1e9).max(1)
+    # all-invalid subgroups get a far-away sentinel rep so they can never
+    # pass the test and consume pass-budget slots
+    reps = jnp.where(ok_g.any(1), 0.5 * (lo + hi), 2e9)
     d2r, idx = knn(jax.lax.stop_gradient(reps),
                    jax.lax.stop_gradient(t_hat_pcd), k=kc,
                    radius2=r2_sel, assume_sorted=True, point_tables=tables,
