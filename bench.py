@@ -185,18 +185,29 @@ def roofline(mcfg, n_chunks, chunk, dt_frame):
     M_pass = int(M_act * mcfg.pass_fraction)
     M_pass = max(1024, (M_pass + 1023) // 1024 * 1024)
     M_pass = min(M_pass, M_act)
-    # gather rows per chunk: occupancy centre lookups, group q gathers,
-    # pass-compaction row gathers (q/idx/view), packed per-neighbour rows
-    # (the dominant term, at M_pass after the radius-cutoff compaction)
-    rows = R * (S // c) + G_act + 3 * M_pass + M_pass * K
-    # MXU flops per chunk: feat_net on every passing (sample, neighbour)
+    share = int(getattr(mcfg, "knn_share", 1))
+    if share > 1:
+        # subgroup-shared KNN: candidate rows gathered once per subgroup,
+        # MLP runs on knn_cand candidates per member sample
+        kc = int(mcfg.knn_cand)
+        S_pass = max(128, (int(M_act * mcfg.pass_fraction) // share
+                           + 127) // 128 * 128)
+        n_samp = S_pass * share
+        rows = R * (S // c) + G_act + 3 * S_pass + S_pass * kc
+        kk = kc
+        M_mlp = n_samp
+        bytes_ = (S_pass * kc * (24 + F) * 2 + R * (S // c) * 4
+                  + R * B * 8)
+    else:
+        rows = R * (S // c) + G_act + 3 * M_pass + M_pass * K
+        kk = K
+        M_mlp = M_pass
+        bytes_ = M_pass * K * (24 + F) * 2 + R * (S // c) * 4 + R * B * 8
+    # MXU flops per chunk: feat_net on every (sample, candidate)
     fin = F + mcfg.pts_ch + mcfg.pose_embedding_dim
     feat_macs = fin * F + F * F * 3
     head_macs = F * 1 + F * F + (F + mcfg.views_ch) * (F // 2) + (F // 2) * 3
-    flops = 2 * (M_pass * K * feat_macs + M_pass * head_macs)
-    # HBM bytes per chunk: packed neighbour rows (bf16: 24 geo + F feat
-    # lanes x 2B) + occupancy bytes + composite I/O (small)
-    bytes_ = M_pass * K * (24 + F) * 2 + R * (S // c) * 4 + R * B * 8
+    flops = 2 * (M_mlp * kk * feat_macs + M_mlp * head_macs)
     dt_chunk = dt_frame / n_chunks
     return {
         "per_chunk": {"gather_rows": rows, "mxu_flops": flops,
