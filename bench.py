@@ -131,9 +131,40 @@ def main():
     pad = (-n_rays) % CHUNK
     dirs = np.concatenate([dirs, dirs[:pad]], 0)
     chunks = dirs.reshape(-1, CHUNK, 3)
+    n_chunks = len(chunks)
+
+    # single-dispatch frame render: rays generated ON DEVICE and the chunk
+    # loop rolled into one lax.scan — no per-chunk host->device direction
+    # transfers or dispatch RPCs over the (remote) tunnel. Ray values match
+    # the host meshgrid up to fp32 associativity. APNERF_BENCH_SCAN=0
+    # restores the per-chunk dispatch loop for A/B.
+    one_dispatch = os.environ.get("APNERF_BENCH_SCAN", "1") == "1"
+    o_dev = jnp.asarray(o)
+
+    @jax.jit
+    def render_frame(frame):
+        def body(_, ci):
+            pix = (ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)) % n_rays
+            px = (pix % W).astype(jnp.float32) + 0.5
+            py = (pix // W).astype(jnp.float32) + 0.5
+            rd = jnp.stack([(px - W / 2) / focal, -(py - H / 2) / focal,
+                            -jnp.ones_like(px)], -1)
+            ro = jnp.broadcast_to(o_dev, rd.shape)
+            vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+            res = tp.forward(params, mcfg, state, ro, rd, vd, t=None,
+                             rot_params=None, near=0.5, far=6.0, bg=1.0,
+                             render_depth=True, frame=frame)
+            return 0, (res["rgb_marched"], res["depth"])
+        _, (rgbs, deps) = jax.lax.scan(
+            body, 0, jnp.arange(n_chunks, dtype=jnp.int32))
+        return rgbs, deps
 
     def run_once():
         frame = prep_frame(rot)
+        if one_dispatch:
+            rgbs, deps = render_frame(frame)
+            _ = np.asarray(rgbs[-1][0])
+            return rgbs
         outs = []
         for c in chunks:
             rd = jnp.asarray(c)
