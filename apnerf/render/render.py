@@ -34,6 +34,23 @@ def render_image(render_chunk: Callable, K, c2w, H: int, W: int,
     n = H * W
     Kd = jnp.asarray(K, jnp.float32)[None]
     cd = jnp.asarray(c2w, jnp.float32)[None]
+    image_fn = getattr(render_chunk, "image_fn", None)
+    if image_fn is not None:
+        # single-dispatch path: device ray-gen + lax.scan over chunks
+        # (renderers.make_image_scan); one dispatch per image
+        out = image_fn(Kd, cd, H, W, chunk, inverse_y, flip_x, flip_y)
+        result = {}
+        for k in ("rgb_marched", "depth") + tuple(extra_keys) + (
+                "joints_2d", "bones"):
+            if k not in out or out[k] is None:
+                continue
+            v = np.asarray(out[k])
+            if k in ("joints_2d", "bones"):
+                result[k] = v
+                continue
+            v = v.reshape(-1, *v.shape[2:])[:n]
+            result[k] = v.reshape(H, W, *v.shape[1:])
+        return result
     outs: Dict[str, list] = {}
     for start in range(0, n, chunk):
         pix = np.arange(start, min(start + chunk, n), dtype=np.int32)

@@ -7,9 +7,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.rays import pixels_to_rays
 from ..models import temporal_points as tp
 from ..models import tineuvox
 from ..ops.marching import composite
+
+
+def make_image_scan(chunk_fn, keys):
+    """Whole-image single-dispatch renderer: rays generated on device, the
+    chunk loop rolled into one ``lax.scan``. One dispatch per image instead
+    of one per chunk (dispatch + pix transfers ride a remote tunnel here).
+
+    ``chunk_fn(extra, ro, rd, vd) -> dict`` must be jit-pure; ``extra`` is
+    an arbitrary pytree threaded through (frame state / scalar time).
+    Returns ``image_fn(extra, K[1], c2w[1], H, W, chunk, flags) -> dict``
+    of stacked ``[n_chunks, chunk, ...]`` device arrays; jits are cached
+    per (H, W, chunk, flags).
+    """
+    cache = {}
+
+    def image_fn(extra, Kd, cd, H, W, chunk, inverse_y, flip_x, flip_y):
+        key = (H, W, chunk, inverse_y, flip_x, flip_y)
+        if key not in cache:
+            n = H * W
+            n_chunks = (n + chunk - 1) // chunk
+
+            @jax.jit
+            def run(extra, Kd, cd):
+                def body(_, ci):
+                    pix = jnp.minimum(
+                        ci * chunk + jnp.arange(chunk, dtype=jnp.int32),
+                        n - 1)
+                    ro, rd, vd = pixels_to_rays(
+                        Kd, cd, jnp.zeros(chunk, jnp.int32), pix, H, W,
+                        inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+                    res = chunk_fn(extra, ro, rd, vd)
+                    return 0, {k: res[k] for k in keys if res.get(k)
+                               is not None}
+                _, out = jax.lax.scan(
+                    body, 0, jnp.arange(n_chunks, dtype=jnp.int32))
+                return out
+
+            cache[key] = run
+        return cache[key](extra, Kd, cd)
+
+    return image_fn
 
 
 def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
@@ -24,8 +66,14 @@ def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
                                stepsize, bg, n_steps)
         return {"rgb_marched": res["rgb_marched"], "depth": res["depth"]}
 
+    scan = make_image_scan(
+        lambda t, ro, rd, vd: chunk(ro, rd, vd, t),
+        keys=("rgb_marched", "depth"))
+
     def for_view(i, t):
-        return lambda ro, rd, vd: chunk(ro, rd, vd, jnp.float32(t))
+        fn = lambda ro, rd, vd: chunk(ro, rd, vd, jnp.float32(t))  # noqa: E731
+        fn.image_fn = partial(scan, jnp.float32(t))
+        return fn
 
     return for_view
 
@@ -81,11 +129,33 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
         return out
 
     zeros_rot = jnp.zeros((mcfg.n_joints, 4))
+    scan = make_image_scan(
+        chunk, keys=("rgb_marched", "depth", "weights", "budget_audit"))
 
     def for_view(i, t, rot_params=None):
         use_rot = rot_params is not None
         rp = jnp.asarray(rot_params) if use_rot else zeros_rot
         frame = prep(jnp.float32(t or 0.0), rp, use_rot)
+
+        def image_fn(*args):
+            out = dict(scan(frame, *args))
+            audit = out.pop("budget_audit")
+            if not for_view._audited:
+                for_view._audited = True
+                audit = np.asarray(audit[0])
+                if audit[0] > audit[1] or audit[2] > audit[3]:
+                    print("render: budget audit — static sampling budgets "
+                          f"truncated (active {audit[0]}/{audit[1]}, "
+                          f"radius-pass {audit[2]}/{audit[3]}); raise "
+                          "active_fraction/pass_fraction if quality "
+                          "matters more than speed")
+            if poses is not None and Ks is not None and i < len(poses):
+                j2 = tp.project_points(frame["joints_warped"],
+                                       jnp.asarray(poses[i]),
+                                       jnp.asarray(Ks[i], jnp.float32))
+                out["joints_2d"] = np.asarray(j2)
+                out["bones"] = np.asarray(state["bones"])
+            return out
 
         def fn(ro, rd, vd):
             out = dict(chunk(frame, ro, rd, vd))
@@ -109,6 +179,7 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
                 out["bones"] = np.asarray(state["bones"])
             out.pop("joints_warped", None)
             return out
+        fn.image_fn = image_fn
         return fn
 
     for_view._audited = False
