@@ -76,14 +76,21 @@ def overlay_skeleton(img, joints_2d, bones, inverse_y=False, H=None):
     """Draw bones/joints onto a weight render (reference run.py:228-237)."""
     if cv2 is None or joints_2d is None or bones is None:
         return img
-    pts = np.asarray(joints_2d).astype(np.int32)
-    img = np.ascontiguousarray(img)
+    # plain-int, range-clipped coordinates: cv2 5.x rejects np.int32 scalar
+    # tuples and coordinates far outside the canvas
+    lim = 4 * max(img.shape[0], img.shape[1])
+    pts = np.clip(np.nan_to_num(np.asarray(joints_2d), nan=-lim),
+                  -lim, lim).astype(np.int32)
+    # force a WRITABLE contiguous copy: arrays view-converted from jax are
+    # read-only and cv2 draws in place
+    img = np.array(img, copy=True)
     for bone in bones:
-        img = cv2.line(img, tuple(pts[bone[0]]), tuple(pts[bone[1]]),
+        img = cv2.line(img, (int(pts[bone[0]][0]), int(pts[bone[0]][1])),
+                       (int(pts[bone[1]][0]), int(pts[bone[1]][1])),
                        color=(0, 0, 0), thickness=1)
     for j in range(len(pts)):
-        img = cv2.circle(img, tuple(pts[j]), radius=3, color=(0, 0, 0),
-                         thickness=-1)
+        img = cv2.circle(img, (int(pts[j][0]), int(pts[j][1])), radius=3,
+                         color=(0, 0, 0), thickness=-1)
     return img
 
 

@@ -74,3 +74,26 @@ def test_backbone_renderer_scan_matches_loop():
     for k in ("rgb_marched", "depth"):
         np.testing.assert_allclose(out_scan[k], out_loop[k], rtol=1e-5,
                                    atol=1e-5, err_msg=k)
+
+
+def test_render_viewpoints_overlay_smoke(tmp_path):
+    """render_viewpoints end-to-end: images + weight renders written, the
+    skeleton overlay consumes the joints the scan path now surfaces."""
+    params, mcfg, state, pcd, *_ = _toy_model()
+    H = W = 24
+    K, c2w = _camera(H, W)
+    c2w[:3, 3] = pcd.mean(0) + [0, 0, 2.0]
+    poses = np.stack([c2w, c2w])
+    Ks = np.stack([K, K])
+    for_view = make_points_renderer(params, mcfg, state, near=0.1, far=10.0,
+                                    bg=1.0, poses=poses, Ks=Ks)
+    out = render.render_viewpoints(
+        for_view, poses, np.array([[H, W]] * 2), Ks,
+        np.array([0.1, 0.6]), savedir=str(tmp_path), verbose=False,
+        chunk=128)
+    assert out["rgbs"].shape == (2, H, W, 3)
+    assert np.isfinite(out["rgbs"]).all()
+    assert len(out["weights"]) == 2
+    import os
+    assert os.path.exists(str(tmp_path / "img_000.png"))
+    assert os.path.exists(str(tmp_path / "weights_001.png"))
