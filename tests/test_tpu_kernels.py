@@ -219,3 +219,30 @@ def test_knn_count_matches_bruteforce():
     full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
     ref = (full <= r2).sum(-1)
     np.testing.assert_array_equal(cnt, ref)
+
+
+def test_knn_radius_kernel_k12():
+    """k'=12 selection (the subgroup-shared path's candidate width): every
+    within-radius neighbour among the first 12 must match brute force."""
+    import jax.numpy as jnp
+    from apnerf.kernels.knn_cells_pallas import (build_point_tables,
+                                                 knn_radius_pallas)
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(4096, 3)).astype(np.float32)
+    p = rng.normal(size=(5000, 3)).astype(np.float32)
+    r2 = 0.08
+    tables = build_point_tables(jnp.asarray(p))
+    d2, idx = knn_radius_pallas(jnp.asarray(q), jnp.asarray(p), k=12,
+                                radius2=r2, tables=tables)
+    d2 = np.asarray(d2)
+    idx = np.asarray(idx)
+    full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
+    ref_d = np.sort(full, 1)[:, :12]
+    # within-radius neighbours are found exactly (selection keys are
+    # quantized to 11 mantissa bits -> compare at that tolerance)
+    mask = ref_d <= r2
+    got = np.take_along_axis(full, idx, axis=1)
+    np.testing.assert_allclose(np.sort(got, 1)[mask], ref_d[mask],
+                               rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(np.sort(d2, 1)[mask], ref_d[mask],
+                               rtol=2e-3, atol=1e-7)
