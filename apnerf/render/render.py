@@ -191,15 +191,25 @@ def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
 
 
 def write_video(path, frames, fps=30):
-    """mp4 via imageio/ffmpeg; animated GIF fallback when no ffmpeg backend
-    is available (this image has none)."""
+    """mp4 via imageio/ffmpeg, else cv2 (mp4v), else animated GIF."""
     import imageio.v2 as imageio
     frames8 = metrics.to8b(frames)
     if frames8.ndim == 3:
         frames8 = frames8[..., None].repeat(3, -1)
     try:
         imageio.mimwrite(path, frames8, fps=fps, quality=8)
+        return
     except (ValueError, ImportError):
-        gif = os.path.splitext(path)[0] + ".gif"
-        imageio.mimwrite(gif, frames8, duration=1000.0 / fps, loop=0)
-        print(f"write_video: no mp4 backend, wrote {gif}")
+        pass
+    if cv2 is not None:
+        h, w = frames8.shape[1:3]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+        if vw.isOpened():
+            for f in frames8:
+                vw.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+            vw.release()
+            return
+    gif = os.path.splitext(path)[0] + ".gif"
+    imageio.mimwrite(gif, frames8, duration=1000.0 / fps, loop=0)
+    print(f"write_video: no mp4 backend, wrote {gif}")

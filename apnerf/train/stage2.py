@@ -484,19 +484,19 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
             grid = np.clip(np.concatenate(panels, axis=0), 0, 1)
             writer.add_image("payload", grid.transpose(2, 0, 1), global_step)
             # GT | direct | full | weights comparison sequence
-            # (reference run.py:772-811; GIF instead of mp4 — no ffmpeg in
-            # this image — plus a tensorboard filmstrip)
+            # (reference run.py:772-811) as mp4 (cv2 backend; GIF when no
+            # encoder exists) plus a tensorboard filmstrip
             vid = render_comparison_video(params)
             writer.add_images("video_panels", vid.transpose(0, 3, 1, 2),
                               global_step)
             try:
-                import imageio
-                imageio.mimsave(
+                from ..render.render import write_video
+                write_video(
                     os.path.join(tensorboard_path,
-                                 f"comparison_{global_step:06d}.gif"),
-                    (vid * 255).astype(np.uint8), fps=4, loop=0)
+                                 f"comparison_{global_step:06d}.mp4"),
+                    vid, fps=4)
             except Exception as e:  # pragma: no cover
-                print(f"stage2: gif write skipped ({e})")
+                print(f"stage2: comparison video write skipped ({e})")
 
     if writer is not None:
         writer.close()

@@ -7,6 +7,7 @@ wiring regressions would pass CI silently (ADVICE r2). Micro sizes, a
 handful of iterations, structural asserts only — quality gates stay in the
 slow test.
 """
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -55,10 +56,16 @@ def test_pipeline_wiring(micro_setup, tmp_path):
     assert len(art["skeleton"]["bones"]) >= 1
 
     scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+    tb_dir = str(tmp_path / "tb")
     p2, m2, st2, stats2 = stage2.train_pcd(
         cfg, data, art["canonical"], art["skeleton"], params, mcfg,
-        scene_bbox, n_iters=4, log_every=4, sample_budget=32)
+        scene_bbox, n_iters=4, log_every=4, sample_budget=32,
+        tensorboard_path=tb_dir, i_save=4)
     assert np.isfinite(stats2["loss"][-1])
+    import glob
+    # comparison video written (mp4 via cv2; gif when no encoder)
+    assert glob.glob(tb_dir + "/comparison_*.mp4") \
+        or glob.glob(tb_dir + "/comparison_*.gif"), os.listdir(tb_dir)
 
     # repose path: explicit rotations through the full forward
     J = m2.n_joints

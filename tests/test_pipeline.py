@@ -66,7 +66,8 @@ def test_full_pipeline(tiny_setup, tmp_path):
     assert stats2["psnr"][-1] > 14, stats2["psnr"]
     import glob
     # comparison panel GIFs written at i_save (reference run.py:772-811)
-    assert glob.glob(tb_dir + "/comparison_*.gif"), os.listdir(tb_dir)
+    assert glob.glob(tb_dir + "/comparison_*.mp4") \
+        or glob.glob(tb_dir + "/comparison_*.gif"), os.listdir(tb_dir)
 
     # ---- canonical-time re-render PSNR vs GT (repose-path quality gate):
     # rendering through the full warp+KNN+composite pipeline at a train
