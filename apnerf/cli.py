@@ -55,6 +55,9 @@ def config_parser():
     p.add_argument("--basedir_append_suffix", type=str, default="")
     p.add_argument("--step_to_half", type=int, default=100000)
     p.add_argument("--export_bbox_and_cams_only", type=str, default="")
+    # additive (no reference counterpart): shard render chunks over the
+    # first N devices of the default backend (rays-DP, params replicated)
+    p.add_argument("--render_devices", type=int, default=0)
     return p
 
 
@@ -195,12 +198,18 @@ def main(argv=None):
     bg = float(cfg.train_config.bg_col)
     prune_info = None
 
+    mesh = None
+    if args.render_devices > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.render_devices)
+        print(f"render: rays-DP over {mesh.devices.size} devices")
+
     if not args.render_pcd:
         from .models import tineuvox as tnv
         payload = ckpt.load_checkpoint(os.path.join(save_path, "fine_last.pkl"))
         mcfg = tnv.TiNeuVoxConfig(**payload["model_kwargs"])
         renderer = make_backbone_renderer(payload["params"], mcfg, stepsize,
-                                          near, far, bg)
+                                          near, far, bg, mesh=mesh)
         ckpt_name = "fine_last"
         make_view_fn = renderer
     else:
@@ -218,7 +227,7 @@ def main(argv=None):
         renderer = make_points_renderer(
             params, mcfg, state, near, far, bg,
             render_pcd_direct=args.render_pcd_direct,
-            poses=data_dict["poses"], Ks=data_dict["Ks"])
+            poses=data_dict["poses"], Ks=data_dict["Ks"], mesh=mesh)
         ckpt_name = "temporalpoints_last"
         make_view_fn = renderer
 
@@ -270,7 +279,7 @@ def main(argv=None):
 
     if args.repose_pcd:
         repose(args, cfg, save_path, data_dict, params, mcfg, state,
-               near, far, bg, flags)
+               near, far, bg, flags, mesh=mesh)
 
     if args.visualise_canonical and args.render_pcd:
         from .kinematics.visualize import visualise_skeletonizer
@@ -289,7 +298,7 @@ def main(argv=None):
 
 
 def repose(args, cfg, save_path, data_dict, params, mcfg, state, near, far,
-           bg, flags):
+           bg, flags, mesh=None):
     """Random repose animation (reference run.py:1355-1396).
 
     Manual animations: edit ``target_params`` — row j is (axis_xyz, angle)
@@ -309,7 +318,8 @@ def repose(args, cfg, save_path, data_dict, params, mcfg, state, near, far,
                                     poses=np.repeat(
                                         data_dict["poses"][0][None], steps, 0),
                                     Ks=np.repeat(
-                                        data_dict["Ks"][0][None], steps, 0))
+                                        data_dict["Ks"][0][None], steps, 0),
+                                    mesh=mesh)
     outdir = os.path.join(save_path, f"render_video_repose_{args.seed}")
     os.makedirs(outdir, exist_ok=True)
 

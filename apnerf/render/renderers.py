@@ -13,7 +13,7 @@ from ..models import tineuvox
 from ..ops.marching import composite
 
 
-def make_image_scan(chunk_fn, keys):
+def make_image_scan(chunk_fn, keys, mesh=None):
     """Whole-image single-dispatch renderer: rays generated on device, the
     chunk loop rolled into one ``lax.scan``. One dispatch per image instead
     of one per chunk (dispatch + pix transfers ride a remote tunnel here).
@@ -23,14 +23,27 @@ def make_image_scan(chunk_fn, keys):
     Returns ``image_fn(extra, K[1], c2w[1], H, W, chunk, flags) -> dict``
     of stacked ``[n_chunks, chunk, ...]`` device arrays; jits are cached
     per (H, W, chunk, flags).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each chunk's rays are
+    sharded over the mesh's ray axis (multi-chip serving: params/state
+    replicated, rays data-parallel; GSPMD inserts the collectives). The
+    reference is single-GPU (SURVEY.md §2.3); this layer is additive.
     """
     cache = {}
+    shardings = None
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        shardings = (pmesh.ray_sharded(mesh), pmesh.replicated(mesh))
 
     def image_fn(extra, Kd, cd, H, W, chunk, inverse_y, flip_x, flip_y):
         key = (H, W, chunk, inverse_y, flip_x, flip_y)
         if key not in cache:
             n = H * W
             n_chunks = (n + chunk - 1) // chunk
+            if mesh is not None:
+                assert chunk % mesh.devices.size == 0, (
+                    f"chunk {chunk} must divide over the {mesh.devices.size}"
+                    "-device mesh")
 
             @jax.jit
             def run(extra, Kd, cd):
@@ -41,6 +54,9 @@ def make_image_scan(chunk_fn, keys):
                     ro, rd, vd = pixels_to_rays(
                         Kd, cd, jnp.zeros(chunk, jnp.int32), pix, H, W,
                         inverse_y=inverse_y, flip_x=flip_x, flip_y=flip_y)
+                    if shardings is not None:
+                        ro, rd, vd = jax.lax.with_sharding_constraint(
+                            (ro, rd, vd), shardings[0])
                     res = chunk_fn(extra, ro, rd, vd)
                     return 0, {k: res[k] for k in keys if res.get(k)
                                is not None}
@@ -54,10 +70,29 @@ def make_image_scan(chunk_fn, keys):
     return image_fn
 
 
+def _put_replicated_arrays(tree, mesh):
+    """device_put array leaves replicated on the mesh; pass through
+    non-array entries (bone lists, None) untouched."""
+    from ..parallel import mesh as pmesh
+    rep = pmesh.replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, rep)
+        return x
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
-                           near, far, bg):
-    """Chunk renderer for the TiNeuVox backbone (reference run.py:125-130)."""
+                           near, far, bg, mesh=None):
+    """Chunk renderer for the TiNeuVox backbone (reference run.py:125-130).
+
+    ``mesh``: optional device mesh — the scan path renders each chunk
+    rays-data-parallel over it (params replicated)."""
     n_steps = mcfg.max_steps(stepsize)
+    if mesh is not None:
+        params = _put_replicated_arrays(params, mesh)
 
     @jax.jit
     def chunk(ro, rd, vd, t):
@@ -68,7 +103,7 @@ def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
 
     scan = make_image_scan(
         lambda t, ro, rd, vd: chunk(ro, rd, vd, t),
-        keys=("rgb_marched", "depth"))
+        keys=("rgb_marched", "depth"), mesh=mesh)
 
     def for_view(i, t):
         fn = lambda ro, rd, vd: chunk(ro, rd, vd, jnp.float32(t))  # noqa: E731
@@ -94,16 +129,25 @@ def weight_palette(n, seed=0):
 
 def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
                          far, bg, render_weights=True,
-                         render_pcd_direct=False, poses=None, Ks=None):
+                         render_pcd_direct=False, poses=None, Ks=None,
+                         mesh=None):
     """Chunk renderer for TemporalPoints; optionally returns LBS-weight
-    colours and 2D joints for the skeleton overlay."""
+    colours and 2D joints for the skeleton overlay.
+
+    ``mesh``: optional device mesh — the scan path renders each chunk
+    rays-data-parallel over it (params/points replicated)."""
     weight_mask = np.asarray(
         tp.get_weights(params, mcfg, state).sum(0) > 0)
+    if mesh is not None:
+        params = _put_replicated_arrays(params, mesh)
+        state = _put_replicated_arrays(state, mesh)
     n_active = int(weight_mask.sum())
     cols = np.zeros((mcfg.n_joints, 3), np.float32)
     if n_active:
         cols[weight_mask] = weight_palette(n_active)
     cols_dev = jnp.asarray(cols)
+    if mesh is not None:
+        cols_dev = _put_replicated_arrays(cols_dev, mesh)
 
     @partial(jax.jit, static_argnames=("use_rot",))
     def prep(t, rot_params, use_rot):
@@ -130,7 +174,8 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
 
     zeros_rot = jnp.zeros((mcfg.n_joints, 4))
     scan = make_image_scan(
-        chunk, keys=("rgb_marched", "depth", "weights", "budget_audit"))
+        chunk, keys=("rgb_marched", "depth", "weights", "budget_audit"),
+        mesh=mesh)
 
     def for_view(i, t, rot_params=None):
         use_rot = rot_params is not None
