@@ -55,9 +55,11 @@ def config_parser():
     p.add_argument("--basedir_append_suffix", type=str, default="")
     p.add_argument("--step_to_half", type=int, default=100000)
     p.add_argument("--export_bbox_and_cams_only", type=str, default="")
-    # additive (no reference counterpart): shard render chunks over the
-    # first N devices of the default backend (rays-DP, params replicated)
+    # additive (no reference counterpart): shard render chunks / train ray
+    # batches over the first N devices of the default backend (rays-DP,
+    # params replicated; training also ZeRO-1 shards the Adam moments)
     p.add_argument("--render_devices", type=int, default=0)
+    p.add_argument("--train_devices", type=int, default=0)
     return p
 
 
@@ -98,6 +100,12 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
             f.write(f"{k} = {getattr(args, k)}\n")
     dump_config(cfg, os.path.join(save_path, "config.py"))
 
+    mesh = None
+    if getattr(args, "train_devices", 0) > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.train_devices)
+        print(f"train: rays-DP + ZeRO-1 over {mesh.devices.size} devices")
+
     ck1 = os.path.join(save_path, "fine_last.pkl")
     if 1 in stages:
         if os.path.isfile(ck1):
@@ -107,7 +115,7 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
                 cfg, data_dict, seed=args.seed, log_every=args.i_print,
                 step_to_half=args.step_to_half,
                 ckpt_path=os.path.join(save_path, "fine_progress.pkl"),
-                ckpt_every=args.i_save)
+                ckpt_every=args.i_save, mesh=mesh)
             ckpt.save_checkpoint(ck1, mcfg.get_kwargs(), params)
 
     if 2 in stages:
@@ -143,7 +151,7 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
             scene_bbox, seed=args.seed, log_every=args.i_print,
             tensorboard_path=tb_path, i_save=args.i_save,
             ckpt_path=os.path.join(save_path, "temporalpoints_progress.pkl"),
-            ckpt_every=args.i_save)
+            ckpt_every=args.i_save, mesh=mesh)
         save_temporalpoints(os.path.join(save_path, "temporalpoints_last.pkl"),
                             p2, m2, st2, art, mcfg)
 

@@ -42,6 +42,19 @@ def put_replicated(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def put_replicated_arrays(tree, mesh: Mesh):
+    """device_put array leaves replicated on the mesh; pass through
+    non-array entries (bone lists, None, python scalars) untouched."""
+    rep = replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim"):
+            return jax.device_put(x, rep)
+        return x
+
+    return jax.tree_util.tree_map(place, tree)
+
+
 def put_ray_sharded(batch: dict, mesh: Mesh):
     """Place per-ray batch arrays sharded on the leading axis; scalars
     replicated."""

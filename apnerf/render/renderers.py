@@ -71,17 +71,8 @@ def make_image_scan(chunk_fn, keys, mesh=None):
 
 
 def _put_replicated_arrays(tree, mesh):
-    """device_put array leaves replicated on the mesh; pass through
-    non-array entries (bone lists, None) untouched."""
-    from ..parallel import mesh as pmesh
-    rep = pmesh.replicated(mesh)
-
-    def place(x):
-        if hasattr(x, "ndim"):
-            return jax.device_put(x, rep)
-        return x
-
-    return jax.tree_util.tree_map(place, tree)
+    from ..parallel.mesh import put_replicated_arrays
+    return put_replicated_arrays(tree, mesh)
 
 
 def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,

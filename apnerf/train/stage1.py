@@ -156,15 +156,33 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
 
 def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                              log_every=1000, step_to_half=100000,
-                             callback=None, ckpt_path=None, ckpt_every=0):
+                             callback=None, ckpt_path=None, ckpt_every=0,
+                             mesh=None):
     """Run stage-1 training end to end; returns (params, model_cfg, stats).
 
     With ``ckpt_path`` + ``ckpt_every``: periodic mid-stage checkpoints
     (params, Adam state, step, occupancy) and automatic resume — the
-    reference loses the whole stage on a crash (SURVEY.md §5.3)."""
+    reference loses the whole stage on a crash (SURVEY.md §5.3).
+
+    With ``mesh`` (a 1-D device mesh): data-parallel training — params
+    replicated, the ray batch sharded over the mesh, Adam moments ZeRO-1
+    sharded; requires ``N_rand %% mesh size == 0``. The reference is
+    single-GPU (SURVEY.md §2.3)."""
     cfg_train = cfg.train_config
     cfg_model = cfg.model_and_render
     n_iters = n_iters or int(cfg_train.N_iters)
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        assert int(cfg_train.N_rand) % mesh.devices.size == 0, (
+            "N_rand must divide over the mesh", int(cfg_train.N_rand),
+            mesh.devices.size)
+
+        def rep(tree):
+            return pmesh.put_replicated_arrays(tree, mesh)
+    else:
+        def rep(tree):
+            return tree
 
     xyz_min, xyz_max = compute_bbox_by_cam_frustrm(
         data_dict["HW"], data_dict["Ks"], data_dict["poses"],
@@ -214,8 +232,8 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
         flip_y=cfg.data.flip_y)
 
-    Ks_dev = jnp.asarray(data_dict["Ks"])
-    poses_dev = jnp.asarray(data_dict["poses"])
+    Ks_dev = rep(jnp.asarray(data_dict["Ks"]))
+    poses_dev = rep(jnp.asarray(data_dict["poses"]))
     bg = float(cfg_train.bg_col)
     stepsize = float(cfg_model.stepsize)
     cfg_train = dict(cfg_train)
@@ -255,6 +273,9 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
     def build_segment(params, model_cfg, occupancy_active):
         optimizer = create_optimizer(params, cfg_train)
         opt_state = optimizer.init(params)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            opt_state = pmesh.put_zero1(opt_state, mesh)
         budget = None
         if occupancy_active:
             n_s = model_cfg.max_steps(stepsize)
@@ -281,7 +302,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                                inverse_y=cfg.data.inverse_y,
                                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
                                use_occupancy=occupancy_active,
-                               active_budget=budget)
+                               active_budget=budget, zero1_mesh=mesh)
         return step, opt_state
 
     # ---- mid-stage resume ------------------------------------------
@@ -296,6 +317,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         print(f"stage1: resuming from {ckpt_path} at step {start_step}")
 
     occupancy_active = bool(use_occ and start_step >= occ_start)
+    params = rep(params)
     step_fn, opt_state = build_segment(params, model_cfg, occupancy_active)
     if resume_payload is not None:
         from .masked_adam import MaskedAdamState
@@ -305,8 +327,11 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                 count=jnp.asarray(saved["count"]),
                 mu=jax.device_put(saved["mu"]),
                 nu=jax.device_put(saved["nu"]))
+            if mesh is not None:
+                from ..parallel import mesh as pmesh
+                opt_state = pmesh.put_zero1(opt_state, mesh)
         if occupancy_active:
-            occ = refresh_occupancy(params, model_cfg)
+            occ = rep(refresh_occupancy(params, model_cfg))
     tv_before = float(cfg_train.get("tv_before", 1e9))
     tv_after = float(cfg_train.get("tv_after", 0))
     tv_every = int(cfg_train.get("tv_every", 1))
@@ -331,6 +356,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
             cur_voxels = int(int(cfg_model.num_voxels) / (2 ** n_rest))
             params, model_cfg = tineuvox.scale_volume_grid(
                 params, model_cfg, cur_voxels)
+            params = rep(params)
             rebuild = True
         if use_occ and global_step == occ_start:
             occupancy_active = True
@@ -339,9 +365,9 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
             step_fn, opt_state = build_segment(params, model_cfg,
                                                occupancy_active)
             if occupancy_active:
-                occ = refresh_occupancy(params, model_cfg)
+                occ = rep(refresh_occupancy(params, model_cfg))
         elif occupancy_active and global_step % occ_every == 0:
-            occ = refresh_occupancy(params, model_cfg)
+            occ = rep(refresh_occupancy(params, model_cfg))
 
         sel = next(gen)
         rgb, mval, tval, cam, pix = ray_index.gather(sel)
@@ -352,6 +378,9 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
             "cam": jnp.asarray(cam, jnp.int32),
             "pix": jnp.asarray(pix, jnp.int32),
         }
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            batch = pmesh.put_ray_sharded(batch, mesh)
         tv_on = jnp.float32(
             1.0 if (global_step < tv_before and global_step > tv_after
                     and global_step % tv_every == 0) else 0.0)

@@ -175,17 +175,33 @@ def make_train_step(mcfg: tp.TemporalPointsConfig, state, cfg_train,
 def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
               tineuvox_cfg, scene_bbox, seed=0, n_iters=None, log_every=1000,
               callback=None, sample_budget=None, tensorboard_path=None,
-              i_save=5000, ckpt_path=None, ckpt_every=0):
+              i_save=5000, ckpt_path=None, ckpt_every=0, mesh=None):
     """Run stage-2 training; returns (params, mcfg, state, stats).
 
     With ``tensorboard_path``: per-interval loss-term scalars and periodic
     GT/prediction image grids (reference run.py:724-811 observability).
     With ``ckpt_path`` + ``ckpt_every``: mid-stage checkpoint/resume
     (params + Adam state + step; the reference loses the stage on a crash).
+    With ``mesh`` (a 1-D device mesh): data-parallel training — params and
+    points replicated, the ray batch sharded over the mesh, Adam moments
+    ZeRO-1 sharded; requires ``N_rand %% mesh size == 0``. The reference
+    is single-GPU (SURVEY.md §2.3).
     """
     cfg_train = cfg.pcd_train_config
     n_iters = n_iters or int(cfg_train.N_iters)
     rng = np.random.default_rng(seed)
+
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        assert int(cfg_train.N_rand) % mesh.devices.size == 0, (
+            "N_rand must divide over the mesh", int(cfg_train.N_rand),
+            mesh.devices.size)
+
+        def rep(tree):
+            return pmesh.put_replicated_arrays(tree, mesh)
+    else:
+        def rep(tree):
+            return tree
 
     H, W = int(data_dict["HW"][0][0]), int(data_dict["HW"][0][1])
     i_train = data_dict["i_train"]
@@ -261,8 +277,12 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
     except Exception as e:  # pragma: no cover - diagnostics only
         print(f"stage2: budget audit skipped ({e})")
 
+    params = rep(params)
+    state = rep(state)
     optimizer = create_optimizer(params, dict(cfg_train))
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        opt_state = pmesh.put_zero1(opt_state, mesh)
 
     # ---- mid-stage resume ------------------------------------------
     import os as _os
@@ -275,10 +295,13 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
         start_step = int(payload["global_step"])
         params = payload["params"]
         saved = payload.get("opt_state")
+        params = rep(params)
         if saved is not None:
             opt_state = MaskedAdamState(count=jnp.asarray(saved["count"]),
                                         mu=jax.device_put(saved["mu"]),
                                         nu=jax.device_put(saved["nu"]))
+            if mesh is not None:
+                opt_state = pmesh.put_zero1(opt_state, mesh)
         print(f"stage2: resuming from {ckpt_path} at step {start_step}")
 
     def save_progress(step):
@@ -307,14 +330,15 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
     CH_M = 3000   # mask pixels per view
     CH_N = 3000   # pcd samples
 
-    Ks_dev = jnp.asarray(data_dict["Ks"])
-    poses_dev = jnp.asarray(data_dict["poses"])
+    Ks_dev = rep(jnp.asarray(data_dict["Ks"]))
+    poses_dev = rep(jnp.asarray(data_dict["poses"]))
     step_fn = make_train_step(mcfg, state, cfg_train, optimizer, Ks_dev,
                               poses_dev, H, W, data_dict["near"],
                               data_dict["far"],
                               float(cfg_train.bg_col), n_chamfer_views,
                               inverse_y=cfg.data.inverse_y,
-                              flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y)
+                              flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+                              zero1_mesh=mesh)
 
     # precompute mask pixel coords per train image (for chamfer2D)
     mask_pix = []
@@ -449,6 +473,8 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
             batch["chamfer_pcd_idx"] = jnp.asarray(
                 rng.integers(0, mcfg.n_points, CH_N), jnp.int32)
 
+        if mesh is not None:
+            batch = pmesh.put_ray_sharded(batch, mesh)
         params, opt_state, metrics = step_fn(params, opt_state, batch)
 
         if global_step % log_every == 0 or global_step == n_iters:

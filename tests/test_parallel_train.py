@@ -1,0 +1,93 @@
+"""Trainer-level data-parallel coverage: scene_rep_reconstruction and
+train_pcd with ``mesh=`` must run end to end on the 8-device virtual mesh —
+ray batches sharded, params replicated, Adam moments ZeRO-1 sharded — and
+match the single-device run step for step (the batch sampling is host-RNG
+seeded, so the trajectories are comparable).
+
+Step-level equivalence (sharded==single, zero1==replicated) is in
+tests/test_parallel_zero1.py; this covers the trainer plumbing the CLI's
+``--train_devices`` flag drives (placements at init, resume, pg-rescale,
+occupancy refresh)."""
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from apnerf.config.config import load_config
+from apnerf.data.load_data import load_data
+from apnerf.data.synthetic import generate_scene
+from apnerf.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def micro_setup(tmp_path_factory):
+    scene = generate_scene(str(tmp_path_factory.mktemp("scene") / "arm"),
+                           n_times=3, n_test=1, H=32, W=32)
+    cfg = load_config("apnerf/config/configs/nerf/jumpingjacks.py")
+    cfg.data.datadir = scene
+    cfg.data.half_res = False
+    cfg.model_and_render.num_voxels = 20 ** 3
+    cfg.model_and_render.num_voxels_base = 20 ** 3
+    cfg.train_config.pg_scale = []
+    cfg.train_config.N_rand = 128
+    cfg.train_config.use_occupancy = False
+    cfg.pcd_model_and_render.canonical_pcd_num = 200
+    cfg.pcd_model_and_render.bone_length = 5.0
+    cfg.pcd_train_config.N_rand = 64
+    cfg.pcd_train_config.full_t_iter = 6
+    data = load_data(cfg.data, cfg, bg_col=cfg.train_config.bg_col)
+    return cfg, data
+
+
+def _mesh8():
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs 8 cpu devices")
+    return Mesh(np.array(devices[:8]), (pmesh.RAY_AXIS,))
+
+
+def test_stage1_trainer_mesh_matches_single(micro_setup):
+    from apnerf.train import stage1
+
+    cfg, data = micro_setup
+    mesh = _mesh8()
+    p_s, _, st_s = stage1.scene_rep_reconstruction(
+        cfg, data, n_iters=6, log_every=6)
+    p_m, _, st_m = stage1.scene_rep_reconstruction(
+        cfg, data, n_iters=6, log_every=6, mesh=mesh)
+    np.testing.assert_allclose(st_m["loss"][-1], st_s["loss"][-1],
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_m["feature"]),
+                               np.asarray(p_s["feature"]),
+                               rtol=2e-4, atol=1e-6)
+    # params really live replicated on the mesh
+    assert len(p_m["feature"].sharding.device_set) == 8
+
+
+def test_stage2_trainer_mesh_runs(micro_setup, tmp_path):
+    from apnerf.train import stage1, stage2
+    from apnerf.train.export import export_point_cloud
+
+    cfg, data = micro_setup
+    mesh = _mesh8()
+    params, mcfg, _ = stage1.scene_rep_reconstruction(
+        cfg, data, n_iters=6, log_every=6)
+    art = export_point_cloud(
+        params, mcfg, str(tmp_path), cfg.data.canonical_t,
+        float(cfg.model_and_render.stepsize), pcd_density_threshold=0.0,
+        skeleton_density_threshold=0.0, bone_length=5.0,
+        canonical_pcd_num=200, overwrite=True)
+    scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+
+    p2s, _, _, s2s = stage2.train_pcd(
+        cfg, data, art["canonical"], art["skeleton"], params, mcfg,
+        scene_bbox, n_iters=4, log_every=4, sample_budget=32)
+    p2m, _, _, s2m = stage2.train_pcd(
+        cfg, data, art["canonical"], art["skeleton"], params, mcfg,
+        scene_bbox, n_iters=4, log_every=4, sample_budget=32, mesh=mesh)
+    np.testing.assert_allclose(s2m["loss"][-1], s2s["loss"][-1], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p2m["canonical_feat"]),
+                               np.asarray(p2s["canonical_feat"]),
+                               rtol=2e-4, atol=1e-6)
+    assert len(p2m["canonical_feat"].sharding.device_set) == 8
