@@ -25,11 +25,17 @@ except ImportError:  # pragma: no cover
 
 def render_image(render_chunk: Callable, K, c2w, H: int, W: int,
                  chunk: int = 8192, inverse_y=False, flip_x=False,
-                 flip_y=False, extra_keys=()):
+                 flip_y=False, extra_keys=(), async_out=False):
     """Render one full image by chunking rays through ``render_chunk``.
 
     ``render_chunk(rays_o, rays_d, viewdirs) -> dict`` with at least
     ``rgb_marched`` [B,3] and ``depth`` [B].
+
+    ``async_out`` (single-dispatch path only): return a zero-arg
+    ``finalize() -> result`` closure instead of the result — the device
+    render is dispatched but not read back, so the caller can overlap the
+    host readback/metrics of one view with the device render of the next
+    (the readback rides a slow remote tunnel here).
     """
     n = H * W
     Kd = jnp.asarray(K, jnp.float32)[None]
@@ -39,18 +45,22 @@ def render_image(render_chunk: Callable, K, c2w, H: int, W: int,
         # single-dispatch path: device ray-gen + lax.scan over chunks
         # (renderers.make_image_scan); one dispatch per image
         out = image_fn(Kd, cd, H, W, chunk, inverse_y, flip_x, flip_y)
-        result = {}
-        for k in ("rgb_marched", "depth") + tuple(extra_keys) + (
-                "joints_2d", "bones"):
-            if k not in out or out[k] is None:
-                continue
-            v = np.asarray(out[k])
-            if k in ("joints_2d", "bones"):
-                result[k] = v
-                continue
-            v = v.reshape(-1, *v.shape[2:])[:n]
-            result[k] = v.reshape(H, W, *v.shape[1:])
-        return result
+
+        def finalize():
+            result = {}
+            for k in ("rgb_marched", "depth") + tuple(extra_keys) + (
+                    "joints_2d", "bones"):
+                if k not in out or out[k] is None:
+                    continue
+                v = np.asarray(out[k])
+                if k in ("joints_2d", "bones"):
+                    result[k] = v
+                    continue
+                v = v.reshape(-1, *v.shape[2:])[:n]
+                result[k] = v.reshape(H, W, *v.shape[1:])
+            return result
+
+        return finalize if async_out else finalize()
     outs: Dict[str, list] = {}
     for start in range(0, n, chunk):
         pix = np.arange(start, min(start + chunk, n), dtype=np.int32)
@@ -115,13 +125,25 @@ def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
     joints_all, bones = {}, None
     psnrs, ssims, lp_a, lp_v = [], [], [], []
 
-    for i in range(len(render_poses)):
+    def dispatch(i):
+        """Dispatch view i's render; returns a finalize() closure (the
+        single-dispatch path defers the host readback so view i+1's device
+        render overlaps view i's readback + metrics)."""
         H, W = int(HW[i][0]), int(HW[i][1])
-        t = float(test_times[i])
-        chunk_fn = render_chunk_for(i, t)
+        chunk_fn = render_chunk_for(i, float(test_times[i]))
         res = render_image(chunk_fn, Ks[i], render_poses[i], H, W,
                            chunk=chunk, inverse_y=inverse_y, flip_x=flip_x,
-                           flip_y=flip_y, extra_keys=extra_keys)
+                           flip_y=flip_y, extra_keys=extra_keys,
+                           async_out=getattr(chunk_fn, "image_fn", None)
+                           is not None)
+        return res if callable(res) else (lambda: res)
+
+    pending = dispatch(0) if len(render_poses) else None
+    for i in range(len(render_poses)):
+        H, W = int(HW[i][0]), int(HW[i][1])
+        nxt = dispatch(i + 1) if i + 1 < len(render_poses) else None
+        res = pending()
+        pending = nxt
         rgb = res["rgb_marched"]
         rgbs.append(rgb)
         depths.append(res.get("depth", np.zeros((H, W))))
