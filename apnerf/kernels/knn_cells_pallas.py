@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .knn_pallas import _interpret_mode
+
 QB = 256          # queries per block
 GB = 4            # query blocks per grid step (amortises per-step overhead)
 PTS = 128         # points per tile
@@ -267,6 +269,7 @@ def knn_count_pallas(queries, points, radius2: float = 0.01,
         out_shape=jax.ShapeDtypeStruct((NB * qb, pts_tile), jnp.int32),
         scratch_shapes=[pltpu.VMEM((T, 3, pts_tile), jnp.float32),
                         pltpu.SemaphoreType.DMA],
+        interpret=_interpret_mode(),
     )(meta, q, pts_t)
     cnt = out[:M].sum(-1)
     if sort_queries:
@@ -345,6 +348,7 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
         scratch_shapes=[pltpu.VMEM((qb, bw), jnp.int32),
                         pltpu.VMEM((T, 3, pts_tile), jnp.float32),
                         pltpu.SemaphoreType.DMA],
+        interpret=_interpret_mode(),
     )(meta, q, pts_t)
 
     # unpack ascending quantized distances from the keys (the consumer only

@@ -23,6 +23,14 @@ QB = 256      # queries per block
 PT = 2048     # points per tile
 
 
+def _interpret_mode() -> bool:
+    """Interpret Pallas off-TPU: the kernels become CPU-runnable so CI can
+    exactness-test them without a chip (tests/test_kernels_interpret.py).
+    Interpret mode is slow — off-TPU only tests call these."""
+    from ..ops.knn import _tpu_default
+    return not _tpu_default()
+
+
 def _knn_kernel(k: int, radius2: float, q_ref, p_ref, od_ref, oi_ref):
     j = pl.program_id(1)
 
@@ -118,6 +126,7 @@ def knn_pallas(queries, points, k: int = 8, radius2=None):
             jax.ShapeDtypeStruct((M + mpad, k), jnp.float32),
             jax.ShapeDtypeStruct((M + mpad, k), jnp.int32),
         ],
+        interpret=_interpret_mode(),
     )(q, p)
     return jnp.maximum(d2[:M], 0.0), idx[:M]
 

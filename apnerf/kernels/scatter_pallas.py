@@ -153,11 +153,13 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    from .knn_pallas import _interpret_mode
     out_t = pl.pallas_call(
         functools.partial(_accum_kernel, C_PAD),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_sup, SUPER * W_CELLS, C_PAD),
                                        jnp.float32),
+        interpret=_interpret_mode(),
     )(offsets, idx_blocks, updt)
     # [n_sup, SUPER*W, C_PAD] -> [rows_pad, C_PAD] -> [n_rows, C]
     return out_t.reshape(rows_pad, C_PAD)[:n_rows, :C]
