@@ -216,6 +216,9 @@ def write_video(path, frames, fps=30):
     """mp4 via imageio/ffmpeg, else cv2 (mp4v), else animated GIF."""
     import imageio.v2 as imageio
     frames8 = metrics.to8b(frames)
+    if frames8.size == 0 or frames8.ndim < 3:
+        print(f"write_video: no frames for {path}, skipped")
+        return
     if frames8.ndim == 3:
         frames8 = frames8[..., None].repeat(3, -1)
     try:

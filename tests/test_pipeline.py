@@ -97,6 +97,18 @@ def test_full_pipeline(tiny_setup, tmp_path):
     canon_psnr = metrics.psnr(pred, gt[..., :3])
     assert canon_psnr > 14, f"canonical re-render PSNR {canon_psnr:.2f}"
 
+    # mechanical PSNR-trail record (VERDICT r2 #3): append this run's
+    # numbers so each round's quality sits next to its perf numbers
+    import json
+    import time
+    with open("PSNR_TRAIL.jsonl", "a") as f:
+        f.write(json.dumps({
+            "ts": round(time.time(), 1),
+            "stage1_psnr": round(float(stats["psnr"][-1]), 2),
+            "stage2_psnr": round(float(stats2["psnr"][-1]), 2),
+            "canonical_rerender_psnr": round(float(canon_psnr), 2),
+        }) + "\n")
+
     # repose with explicit rotations renders finite images
     J = m2.n_joints
     rot = np.zeros((J, 4), np.float32)
