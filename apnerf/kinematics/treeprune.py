@@ -84,6 +84,18 @@ def merge_joints(joints, bones, prune_bones, rotation_similarity_matrix,
     for path in paths:
         for a, b in zip(path[:-1], path[1:]):
             bone_set.add((a, b))
+    if not bone_set:
+        # every non-root joint pruned: degenerate single-root skeleton.
+        # (The reference crashes here — lib/treeprune.py:94-97 indexes with
+        # an empty float array; only reachable on motionless scenes.)
+        merging_rules = np.full(J, root_idx, dtype=np.int32)
+        merging_rules[root_idx] = root_idx
+        joints_to_keep = np.zeros(J, bool)
+        joints_to_keep[root_idx] = True
+        rotations_to_keep = joints_to_keep.copy()
+        return (joints[[root_idx]], np.zeros((0, 2), np.int32),
+                merging_rules, joints_to_keep, rotations_to_keep,
+                np.zeros(1, np.int32), np.arange(J, dtype=np.int32))
     new_bones = np.array(sorted(bone_set))
     new_joint_idx = np.unique(new_bones)
     new_joints = joints[new_joint_idx]

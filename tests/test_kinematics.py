@@ -153,3 +153,24 @@ def test_zju_subject_joint_tables():
     np.testing.assert_array_equal(sk["joints"], z.SUBJECT_JOINTS["377"])
     assert len(sk["bones"]) == 23
     assert z.smpl_skeleton_for("/data/zju/999/cache_train.pickle") is None
+
+
+def test_merge_joints_all_pruned_degenerates_gracefully():
+    """Every non-root joint pruned -> single-root skeleton, not a crash
+    (the reference indexes with an empty float array here)."""
+    rng = np.random.default_rng(5)
+    J = 6
+    joints = rng.normal(size=(J, 3)).astype(np.float32)
+    bones = [[0, 1], [1, 2], [2, 3], [0, 4], [4, 5]]
+    prune = np.ones(J, bool)
+    prune[0] = False
+    sim = np.eye(J, dtype=bool)
+    (new_joints, new_bones, merging_rules, joints_to_keep,
+     rotations_to_keep, switch_mask, sibling_rules) = merge_joints(
+        joints, bones, prune, sim, convert_merging_rules=False)
+    assert new_joints.shape == (1, 3)
+    assert new_bones.shape == (0, 2)
+    assert (merging_rules == 0).all()
+    assert joints_to_keep.sum() == 1 and joints_to_keep[0]
+    assert rotations_to_keep.sum() == 1 and rotations_to_keep[0]
+    assert len(switch_mask) == 1
