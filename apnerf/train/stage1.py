@@ -396,7 +396,7 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                                                    tv_on, tv_dense)
 
         if global_step % log_every == 0 or global_step == n_iters:
-            psnr = -10.0 * np.log10(float(mse))
+            psnr = -10.0 * np.log10(max(float(mse), 1e-12))
             stats["psnr"].append(psnr)
             stats["loss"].append(float(loss))
             print(f"stage1: iter {global_step:6d} | loss {float(loss):.6f} "

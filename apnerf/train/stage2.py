@@ -479,7 +479,7 @@ def train_pcd(cfg, data_dict, canonical, skeleton, tineuvox_params,
 
         if global_step % log_every == 0 or global_step == n_iters:
             mse = float(metrics["mse"])
-            psnr = -10.0 * np.log10(mse)
+            psnr = -10.0 * np.log10(max(mse, 1e-12))
             stats["psnr"].append(psnr)
             stats["loss"].append(float(metrics["loss"]))
             print(f"stage2: iter {global_step:6d} | loss "

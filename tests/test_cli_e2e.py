@@ -65,8 +65,10 @@ pcd_train_config = dict(N_iters=8, N_rand=64, full_t_iter=6)
     # --degree_threshold merging)
     cli.main(["--config", str(cfg_file), "--render_only", "--render_pcd",
               "--repose_pcd", "--degree_threshold", "30",
+              "--visualise_canonical",
               "--i_print", "5", "--i_save", "1000"])
     rep_dir = os.path.join(run_dir, "render_video_repose_0")
     vids = (glob.glob(os.path.join(rep_dir, "*.mp4"))
             + glob.glob(os.path.join(rep_dir, "*.gif")))
     assert vids, os.listdir(rep_dir)
+    assert os.path.isfile(os.path.join(run_dir, "canonical_skeleton.png"))
