@@ -34,7 +34,12 @@ def load_data(data_cfg, cfg=None, load_test_val=False, bg_col=1):
         (images, poses, K, times, render_poses, render_times, _ri, hw,
          i_split, img_to_cam, masks) = load_robot(
             data_cfg.datadir, skip_images=bool(data_cfg.get("skip_images", False)),
-            test=load_test_val)
+            test=load_test_val,
+            # additive knob: the reference hardcodes 300-frame videos
+            # (lib/load_data.py:31 / load_robot default); configurable here
+            # so clips/fixtures load without 300 frames on disk
+            video_len=int(data_cfg.get("video_len", 300)),
+            size=int(data_cfg.get("wim_size", 512)))
         i_train, i_val, i_test = i_split
         hwf = [hw[0], hw[1], K[0, 0, 0]]
         near, far = NEAR_FAR["wim"]

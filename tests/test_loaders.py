@@ -126,3 +126,22 @@ def test_ray_index_multicam(tmp_path):
     # gather returns consistent cam/time per record
     rgb, m, t, cam, pix = idx.gather(np.arange(lo, hi, 7))
     assert (t == 0.0).all()
+
+
+def test_load_data_wim_dispatch(tmp_path):
+    """Full load_data dispatch on the wim config family: near/far, hwf from
+    the per-camera intrinsics table, alpha-derived masks, video_len knob."""
+    from apnerf.config.config import load_config
+    from apnerf.data.load_data import load_data
+
+    root = _make_wim(str(tmp_path / "spot"), n_frames=2, size=32)
+    cfg = load_config("apnerf/config/configs/wim/spot.py")
+    cfg.data.datadir = root
+    cfg.data.video_len = 2
+    cfg.data.wim_size = 32
+    data = load_data(cfg.data, cfg, bg_col=1.0)
+    assert data["near"] == 1.0 and data["far"] == 6.0
+    assert data["images"].shape[0] == 36
+    assert data["Ks"].shape == (18, 3, 3)
+    assert len(data["i_train"]) == 36 and len(data["i_test"]) == 0
+    assert np.asarray(data["masks"]).shape[:1] == (36,)
