@@ -47,6 +47,7 @@ def load_data(data_cfg, cfg=None, load_test_val=False, bg_col=1):
         (images, poses, K, times, render_poses, render_times, _ri, hw,
          i_split, img_to_cam, masks, _emb) = load_zju(
             data_cfg.datadir, video_len=data_cfg.video_len, step=1,
+            size=int(data_cfg.get("zju_size", 512)),
             load_test_val=load_test_val, bg_col=bg_col)
         i_train, i_val, i_test = i_split
         hwf = [hw[0], hw[1], K[0, 0, 0]]

@@ -145,3 +145,22 @@ def test_load_data_wim_dispatch(tmp_path):
     assert data["Ks"].shape == (18, 3, 3)
     assert len(data["i_train"]) == 36 and len(data["i_test"]) == 0
     assert np.asarray(data["masks"]).shape[:1] == (36,)
+
+
+def test_load_data_zju_dispatch(tmp_path):
+    """load_data dispatch on the zju config family (near/far, masked-bg
+    images, per-camera K table, zju_size knob)."""
+    from apnerf.config.config import load_config
+    from apnerf.data.load_data import load_data
+
+    p = _make_zju(str(tmp_path / "cache_train.pickle"), n_frames=3,
+                  n_cams=4, size=32)
+    cfg = load_config("apnerf/config/configs/zju/377.py")
+    cfg.data.datadir = p
+    cfg.data.video_len = 3
+    cfg.data.zju_size = 32
+    data = load_data(cfg.data, cfg, bg_col=1.0)
+    assert data["near"] == 1.0 and data["far"] == 4.0
+    assert data["images"].shape[1:] == (32, 32, 3)
+    assert data["Ks"].shape == (4, 3, 3)
+    assert len(data["i_train"]) == data["images"].shape[0]
