@@ -144,6 +144,10 @@ def build_point_tables(points, pts_per_tile: int = PTS):
     the frame. Shapes are static given the point count.
     """
     from ..ops.knn import morton_codes
+    # the kernels decode packed selection keys with shift/mask arithmetic
+    # (lane & (pts-1)); a non-power-of-two tile would decode garbage
+    assert pts_per_tile > 0 and pts_per_tile & (pts_per_tile - 1) == 0, \
+        f"knn_pts_tile must be a power of two, got {pts_per_tile}"
     pf = points.astype(jnp.float32)
     P = pf.shape[0]
     p_lo = pf.min(0)

@@ -347,7 +347,18 @@ def sample_rays_compact(cfg: TemporalPointsConfig, rays_o, rays_d, near, far,
         # margin, fall back to per-member occupancy (any over the c member
         # samples) so groups the reference keeps are never pruned.
         def centre_hit(_):
-            return occupancy_lookup(occ, occ_cell, bbox_min, pc)
+            # CLAMPED lookup (cf. tineuvox.forward's centre clamp): a last
+            # partial group's centre can overhang the grid by up to the
+            # group half-width while members sit inside the bbox. The
+            # clamped probe is within half-width of every member, which the
+            # dilation margin already covers (coarse_ok below), so clamping
+            # stays conservative; rejecting out-of-range centres pruned
+            # samples the reference keeps at the far bbox face.
+            dims = occ.shape[0]
+            idx = jnp.clip(
+                jnp.floor((pc - bbox_min) / occ_cell).astype(jnp.int32),
+                0, dims - 1)
+            return occ[idx[..., 0], idx[..., 1], idx[..., 2]]
 
         def member_hit(_):
             tm = (jc[:, None] * c

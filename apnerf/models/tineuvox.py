@@ -144,6 +144,10 @@ class TiNeuVoxConfig:
             "viewbase_pe": self.viewbase_pe, "timebase_pe": self.timebase_pe,
             "gridbase_pe": self.gridbase_pe, "add_cam": self.add_cam,
             "no_view_dir": self.no_view_dir, "feat_only": self.feat_only,
+            # not in the reference kwargs: dropping these made mid-stage
+            # resume silently change the TPU execution config (fp32 MLPs /
+            # per-sample occupancy probing)
+            "mlp_bf16": self.mlp_bf16, "occ_group": self.occ_group,
         }
 
 
@@ -185,12 +189,18 @@ def apply_rgbnet(p, h, views_emb=None):
     return nn.mlp(p["views_linears"], feat)
 
 
-def apply_deformation(p, pts_emb, t_feature):
+def apply_deformation(p, pts_emb, t_feature, act_dt=jnp.float32):
     """Reference Deformation.forward (lib/tineuvox.py:49-62): predicts a
-    delta added to the raw xyz (first 3 channels of the PE)."""
+    delta added to the raw xyz (first 3 channels of the PE).
+
+    ``act_dt``: activation dtype for the MLP (bf16 on TPU); the delta is
+    added to the raw xyz in fp32 either way — positions feed the grid
+    interp, only the learned offset runs half-width."""
     h = jnp.concatenate([pts_emb, t_feature], axis=-1)
-    dx = nn.mlp(p, h)
-    return pts_emb[..., :3] + dx
+    if act_dt != jnp.float32:
+        p = jax.tree_util.tree_map(lambda x: x.astype(act_dt), p)
+    dx = nn.mlp(p, h.astype(act_dt))
+    return pts_emb[..., :3] + dx.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -217,11 +227,8 @@ def query_density_features(params, cfg: TiNeuVoxConfig, pts, times_feature,
     if canonical:
         pts_delta = pts
     else:
-        h_d = jnp.concatenate([pts_emb, times_feature], axis=-1)
-        dx = nn.mlp(cast_p(params["deformation_net"]), h_d.astype(act_dt))
-        # the delta is added to the raw xyz in fp32 (positions feed the
-        # grid interp; only the learned offset is half-width)
-        pts_delta = pts_emb[..., :3] + dx.astype(jnp.float32)
+        pts_delta = apply_deformation(params["deformation_net"], pts_emb,
+                                      times_feature, act_dt=act_dt)
     xyz_min = jnp.asarray(cfg.xyz_min, jnp.float32)
     xyz_max = jnp.asarray(cfg.xyz_max, jnp.float32)
     vox_feat = mult_dist_interp(params["feature"], pts_delta, xyz_min, xyz_max)

@@ -121,6 +121,14 @@ def knn(queries, points, k: int = 8, tile: int = 2048, q_tile: int = 16384,
         from ..kernels.knn_pallas import knn_pallas_sorted
         return knn_pallas_sorted(queries, points, k=k, radius2=radius2,
                                  sort_queries=not assume_sorted)
+    if sorted_point_idx:
+        # callers gather from Morton-SORTED per-point tables — the brute
+        # path must search the sorted/padded point array so its indices
+        # live in the same space (silent index-space corruption otherwise,
+        # e.g. k > 16 falling off the kernel path on TPU)
+        assert point_tables is not None, \
+            "sorted_point_idx=True requires point_tables"
+        points = point_tables["pts_sorted"]
     queries = queries.astype(jnp.float32)
     points, Ppad = _pad_points(points.astype(jnp.float32), tile)
     pts_tiles = points.reshape(Ppad // tile, tile, 3)

@@ -152,8 +152,11 @@ def render_viewpoints(render_chunk_for, render_poses, HW, Ks, test_times,
         if "joints_2d" in res and res["joints_2d"] is not None:
             j2 = res["joints_2d"]
             if not inverse_y:
+                # x mirror with the VIEW's width (the reference uses
+                # HW[0,0] — its height — run.py:156, correct only because
+                # every shipped dataset renders square images)
                 j2 = np.copy(j2)
-                j2[:, 0] = (HW[0, 0] - 1) - j2[:, 0]
+                j2[:, 0] = (W - 1) - j2[:, 0]
             joints_all[i] = j2
             bones = res.get("bones")
 

@@ -104,6 +104,17 @@ def make_backbone_renderer(params, mcfg: tineuvox.TiNeuVoxConfig, stepsize,
     return for_view
 
 
+def _warn_audit(audit):
+    """Budget-audit warning from one [act_demand, act_granted, pass_demand,
+    pass_granted] row (renderers print it once per renderer lifetime)."""
+    if audit[0] > audit[1] or audit[2] > audit[3]:
+        print("render: budget audit — static sampling budgets "
+              f"truncated (active {audit[0]}/{audit[1]}, "
+              f"radius-pass {audit[2]}/{audit[3]}); raise "
+              "active_fraction/pass_fraction if quality "
+              "matters more than speed")
+
+
 def weight_palette(n, seed=0):
     """LBS weight false-colour palette (reference lib/temporalpoints.py:692-695
     uses seaborn hls + a seeded permutation)."""
@@ -178,13 +189,10 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
             audit = out.pop("budget_audit")
             if not for_view._audited:
                 for_view._audited = True
-                audit = np.asarray(audit[0])
-                if audit[0] > audit[1] or audit[2] > audit[3]:
-                    print("render: budget audit — static sampling budgets "
-                          f"truncated (active {audit[0]}/{audit[1]}, "
-                          f"radius-pass {audit[2]}/{audit[3]}); raise "
-                          "active_fraction/pass_fraction if quality "
-                          "matters more than speed")
+                # worst chunk of the whole image (the first chunk is often
+                # background with near-zero demand — auditing only it let
+                # central-chunk truncation pass silently)
+                _warn_audit(np.asarray(audit).max(0))
             if poses is not None and Ks is not None and i < len(poses):
                 j2 = tp.project_points(frame["joints_warped"],
                                        jnp.asarray(poses[i]),
@@ -200,13 +208,7 @@ def make_points_renderer(params, mcfg: tp.TemporalPointsConfig, state, near,
                 # one chunk per render is audited (the readback syncs the
                 # pipeline, so don't pay it per chunk)
                 for_view._audited = True
-                audit = np.asarray(audit)
-                if audit[0] > audit[1] or audit[2] > audit[3]:
-                    print("render: budget audit — static sampling budgets "
-                          f"truncated (active {audit[0]}/{audit[1]}, "
-                          f"radius-pass {audit[2]}/{audit[3]}); raise "
-                          "active_fraction/pass_fraction if quality "
-                          "matters more than speed")
+                _warn_audit(np.asarray(audit))
             if poses is not None and Ks is not None and i < len(poses):
                 j2 = tp.project_points(out["joints_warped"],
                                        jnp.asarray(poses[i]),

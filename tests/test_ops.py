@@ -352,3 +352,27 @@ def test_feature_tv_sparse_mode_masks_untouched_voxels():
     np.testing.assert_allclose(sparse[active], dense[active], rtol=1e-6)
     assert np.all(sparse[~active] == 0.0)
     assert np.any(dense[~active] != 0.0)   # the modes genuinely diverge
+
+
+def test_knn_fallback_honours_sorted_point_idx():
+    """The XLA brute path (k > 16 or CPU) must return indices in the
+    Morton-SORTED point space when sorted_point_idx=True — callers gather
+    from pre-permuted tables (silent index-space corruption otherwise)."""
+    from apnerf.kernels.knn_cells_pallas import build_point_tables
+    from apnerf.ops.knn import knn
+
+    rng = np.random.default_rng(7)
+    p = rng.normal(size=(300, 3)).astype(np.float32)
+    q = (p[rng.integers(0, 300, 64)]
+         + rng.normal(size=(64, 3)).astype(np.float32) * 0.05)
+    tables = build_point_tables(jnp.asarray(p))
+    k = 20  # > 16: always the brute path, even on TPU
+    d2, idx = knn(jnp.asarray(q), jnp.asarray(p), k=k,
+                  point_tables=tables, sorted_point_idx=True)
+    pts_sorted = np.asarray(tables["pts_sorted"])
+    gathered = pts_sorted[np.asarray(idx)]
+    d_chk = ((gathered - np.asarray(q)[:, None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), d_chk, rtol=1e-4, atol=1e-5)
+    full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d2), np.sort(full, 1)[:, :k],
+                               rtol=1e-4, atol=1e-5)

@@ -101,7 +101,9 @@ def test_full_pipeline(tiny_setup, tmp_path):
     # numbers so each round's quality sits next to its perf numbers
     import json
     import time
-    with open("PSNR_TRAIL.jsonl", "a") as f:
+    trail = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PSNR_TRAIL.jsonl")
+    with open(trail, "a") as f:
         f.write(json.dumps({
             "ts": round(time.time(), 1),
             "stage1_psnr": round(float(stats["psnr"][-1]), 2),

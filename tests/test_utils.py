@@ -75,3 +75,21 @@ def test_masked_adam_matches_reference_adam_unmasked():
         step_size = 1e-2 * np.sqrt(1 - 0.99 ** t) / (1 - 0.9 ** t)
         p = p - step_size * m / (np.sqrt(v) + 1e-8)
     np.testing.assert_allclose(np.asarray(cur["x"]), p, rtol=1e-4, atol=1e-6)
+
+
+def test_tineuvox_kwargs_roundtrip_covers_all_fields():
+    """get_kwargs must reconstruct the EXACT config — a dropped field means
+    mid-stage resume silently changes the execution config (mlp_bf16 and
+    occ_group were missing)."""
+    import dataclasses
+    from apnerf.models.tineuvox import TiNeuVoxConfig
+    cfg = TiNeuVoxConfig(
+        xyz_min=(-1, -1, -1), xyz_max=(1, 1, 1), num_voxels=8 ** 3,
+        num_voxels_base=8 ** 3, voxel_dim=4, defor_depth=2, net_width=16,
+        posbase_pe=2, viewbase_pe=1, timebase_pe=2, gridbase_pe=1,
+        alpha_init=1e-3, mlp_bf16=True, occ_group=8)
+    rt = TiNeuVoxConfig(**cfg.get_kwargs())
+    assert rt == cfg
+    fields = {f.name for f in dataclasses.fields(TiNeuVoxConfig)}
+    assert fields == set(cfg.get_kwargs()), \
+        fields ^ set(cfg.get_kwargs())
