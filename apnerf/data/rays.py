@@ -132,8 +132,14 @@ def build_ray_index(images, masks_imgs, times, img_to_cam, poses, Ks, H, W,
         pix = np.nonzero(cm)[0].astype(np.int32)
         n = len(pix)
         rgb_parts.append(np.asarray(images[k]).reshape(H * W, -1)[pix, :3])
-        mask_parts.append(
-            np.asarray(masks_imgs[k], np.float32).reshape(H * W, -1)[pix, 0])
+        # normalise 0-255 alpha masks to [0, 1] like the reference does
+        # before the mask BCE (run.py:919-921) — WIM stores the raw uint8
+        # alpha channel (an unscaled mask makes 1-mask targets ~-254),
+        # while ZJU masks are already 0/1 uint8 (value check, not dtype)
+        mk = np.asarray(masks_imgs[k], np.float32).reshape(H * W, -1)[pix, 0]
+        if mk.size and mk.max() > 1.5:
+            mk = mk / 255.0
+        mask_parts.append(mk)
         pix_parts.append(pix)
         imgof_parts.append(np.full(n, k, np.int32))
         t = float(times[k])

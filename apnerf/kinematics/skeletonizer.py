@@ -52,7 +52,14 @@ def segment_skeleton(neighbours, root: int, bone_length: float):
     joints = [root]
     bones = []
     counter = itertools.count()
-    heap = [(0.0, next(counter), root, root, 0.0)]
+    # NEGATED tie-break counter: the reference's insertion-sorted DistQueue
+    # (skeletonizer.py:60-74) inserts a new element BEFORE existing
+    # equal-distance elements (argmin of `distances < d` = first index with
+    # distance >= d), so among ties the NEWEST pops first. A heap keyed
+    # (dist, -counter) reproduces that LIFO-among-equals order exactly;
+    # (dist, +counter) would pop oldest-first and claim voxels in a
+    # different order on the (constant) sqrt-edge-length ties.
+    heap = [(0.0, -next(counter), root, root, 0.0)]
     while heap:
         cm_dist, _, node, prev_joint, dist_prev = heapq.heappop(heap)
         nbrs, dists = neighbours[node]
@@ -64,7 +71,7 @@ def segment_skeleton(neighbours, root: int, bone_length: float):
             dist_prev = 0.0
         for n, d in to_visit:
             visited.add(n)
-            heapq.heappush(heap, (cm_dist + d, next(counter), n,
+            heapq.heappush(heap, (cm_dist + d, -next(counter), n,
                                   prev_joint, dist_prev + d))
     return joints, bones
 

@@ -13,22 +13,6 @@ import jax
 import jax.numpy as jnp
 
 
-def compact_per_row(valid, budget: int):
-    """First ``budget`` valid slots per row, in order.
-
-    Returns src [R, budget] with sentinel == S for empty slots."""
-    R, S = valid.shape
-    score = jnp.where(
-        valid, S - jax.lax.broadcasted_iota(jnp.int32, (R, S), 1), 0)
-    eff = min(budget, S)
-    vals, src = jax.lax.top_k(score, eff)
-    src = jnp.where(vals > 0, src, S).astype(jnp.int32)
-    if eff < budget:
-        src = jnp.concatenate(
-            [src, jnp.full((R, budget - eff), S, jnp.int32)], axis=1)
-    return src
-
-
 def compact_flat(valid_flat, budget: int):
     """Global compaction: indices of the first ``budget`` valid entries.
 

@@ -96,6 +96,16 @@ def export_point_cloud(params, model_cfg: tineuvox.TiNeuVoxConfig, out_dir,
         if freq_up is None or freq_low is None:
             grid_xyz, alpha, mask = volume_at(freq)
             n = int(mask.sum())
+    if freq_up is None or freq_low is None:
+        # bracketing guard expired (the reference loops forever here,
+        # run.py:1157-1191): the target count is unreachable — a sparse
+        # scene below canonical_pcd_num at every tried freq, or one still
+        # above it at the 0.05 floor. Proceed best-effort with the last
+        # evaluated volume instead of crashing on a None bound.
+        print(f"export: sampling-freq search did not bracket "
+              f"{canonical_pcd_num} points (best {n} at freq {freq:.3f}); "
+              "proceeding with the closest volume")
+        freq_up = freq_low = freq
     for _ in range(10):
         if freq_up == freq_low:
             break

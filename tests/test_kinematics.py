@@ -174,3 +174,36 @@ def test_merge_joints_all_pruned_degenerates_gracefully():
     assert joints_to_keep.sum() == 1 and joints_to_keep[0]
     assert rotations_to_keep.sum() == 1 and rotations_to_keep[0]
     assert len(switch_mask) == 1
+
+
+def test_heap_tie_order_matches_reference_distqueue():
+    """The BFS heap keyed (dist, -counter) must pop in the exact order of
+    the reference's insertion-sorted DistQueue (skeletonizer.py:51-81):
+    ascending distance, and among equal distances NEWEST-inserted first
+    (it inserts before existing equals). Fuzzed over tie-rich sequences."""
+    import heapq
+    import itertools
+
+    rng = np.random.default_rng(11)
+    dist_pool = [0.0, 1.0, 1.0, np.sqrt(2), np.sqrt(2), np.sqrt(3), 2.0]
+    for trial in range(20):
+        # reference-semantics comparison queue (insert before first >=)
+        ref_d, ref_v = [], []
+        heap = []
+        counter = itertools.count()
+        popped_ref, popped_heap = [], []
+        for op in range(60):
+            if heap and (rng.random() < 0.4 or op > 40):
+                d_r, v_r = ref_d.pop(0), ref_v.pop(0)
+                _, _, v_h = heapq.heappop(heap)
+                popped_ref.append((d_r, v_r))
+                popped_heap.append(v_h)
+            else:
+                d = float(rng.choice(dist_pool))
+                v = op
+                idx = next((i for i, x in enumerate(ref_d) if x >= d),
+                           len(ref_d))
+                ref_d.insert(idx, d)
+                ref_v.insert(idx, v)
+                heapq.heappush(heap, (d, -next(counter), v))
+        assert [v for _, v in popped_ref] == popped_heap, trial

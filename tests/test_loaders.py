@@ -164,3 +164,31 @@ def test_load_data_zju_dispatch(tmp_path):
     assert data["images"].shape[1:] == (32, 32, 3)
     assert data["Ks"].shape == (4, 3, 3)
     assert len(data["i_train"]) == data["images"].shape[0]
+
+
+def test_ray_index_normalises_alpha_masks():
+    """0-255 alpha masks (WIM) normalise to [0,1] before the mask BCE
+    (reference run.py:919-921); 0/1 masks (ZJU) pass through unscaled."""
+    from apnerf.data.rays import build_ray_index
+
+    H = W = 8
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)]
+    poses = np.eye(4, dtype=np.float32)[None]
+    poses[0, 2, 3] = 3.0
+    Ks = np.array([[[8.0, 0, 4.0], [0, 8.0, 4.0], [0, 0, 1]]], np.float32)
+    kw = dict(times=np.zeros(1), img_to_cam=np.zeros(1, np.int32),
+              poses=poses, Ks=Ks, H=H, W=W,
+              xyz_min=np.array([-1., -1., -1.]),
+              xyz_max=np.array([1., 1., 1.]), near=0.5, far=6.0)
+
+    m255 = [np.full((H, W, 1), 255, np.uint8)]
+    m255[0][:4] = 0
+    idx = build_ray_index(imgs, m255, **kw)
+    assert idx.mask.max() == 1.0 and set(np.unique(idx.mask)) <= {0.0, 1.0}
+
+    m01 = [(rng.random((H, W, 1)) < 0.5).astype(np.uint8)]
+    idx2 = build_ray_index(imgs, m01, **kw)
+    assert set(np.unique(idx2.mask)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(
+        idx2.mask, np.asarray(m01[0], np.float32).reshape(-1)[idx2.pix_id])
