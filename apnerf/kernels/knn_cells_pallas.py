@@ -266,7 +266,7 @@ def knn_count_pallas(queries, points, radius2: float = 0.01,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((gb * qb, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((gb * qb, pts_tile), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -317,6 +317,14 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
     t_hi = tables["t_hi"]
     perm = tables["perm"]
     T, _, pts_tile = pts_t.shape
+    if k > 8:
+        # the unrolled write-free extraction's Mosaic stack scales with
+        # qb * k (measured: k=12/qb=256 needs 18.2-19.9M at ANY rt vs the
+        # 16M scoped-VMEM limit; qb=128 fits for k<=12, qb=64 for k<=16 —
+        # scripts/probe_k12.py). Shrink the query block, and bound the
+        # candidate width too (it no longer dominates but still adds).
+        qb = min(qb, 128 if k <= 12 else 64)
+        rt = max(1, min(rt, (8 * RT * PTS) // (k * pts_tile)))
     assert rt * pts_tile + 128 <= LMASK + 1, "lane bits overflow"
     ppad = T * pts_tile - P
 
@@ -337,7 +345,7 @@ def knn_radius_pallas(queries, points, k: int = 8, radius2: float = 0.01,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((gb * qb, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((gb * qb, k), lambda i: (i, 0),

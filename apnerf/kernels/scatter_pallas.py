@@ -141,8 +141,8 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
         num_scalar_prefetch=1,
         grid=(n_sup,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, SUPER * W_CELLS, C_PAD),
                                lambda w, offs: (w, 0, 0),
