@@ -207,6 +207,74 @@ def apply_deformation(p, pts_emb, t_feature, act_dt=jnp.float32):
 # Forward (volume rendering) — dense layout
 # --------------------------------------------------------------------------
 
+# Largest active-sample count run as ONE fused feature pipeline. Budgets
+# above this are processed in equal lax.scan chunks: the TPU compiler's
+# regalloc RET_CHECK (live_range_finder.cc:29) fires on single fusions
+# somewhere above 2^19 samples at 160^3 scale (524288 compiles; 569344,
+# 655360 and 786432 all crash — see PERF.md round-3 compile sweep), and
+# chunking pins every budget-dependent kernel shape to a known-safe size
+# while only the trip count varies.
+_MAX_SINGLE_BUDGET = 1 << 19
+
+
+def _active_chunks(A: int) -> int:
+    """Number of scan chunks for an active-sample pipeline of size A."""
+    import os
+    max_single = int(os.environ.get("APNERF_MAX_SINGLE_BUDGET",
+                                    _MAX_SINGLE_BUDGET))
+    k = 1
+    while A // k > max_single and k < 1024:
+        k *= 2
+    if A % k:
+        return 1                      # non-divisible budgets run unchunked
+    return k
+
+
+def _active_feature_pipeline(params, cfg: TiNeuVoxConfig, pts_act, tfeat_act,
+                             views_act, filled, interval):
+    """Deformation + grid interp + heads for one block of active samples.
+
+    The budget-shaped heavyweight segment of ``forward`` (reference
+    lib/tineuvox.py:479-532 restricted to compacted samples)."""
+    h_act, pts_delta = query_density_features(params, cfg, pts_act, tfeat_act)
+    density_act = nn.mlp(params["densitynet"], h_act)[..., 0]
+    alpha_act = jnp.where(filled,
+                          raw2alpha(density_act, cfg.act_shift, interval),
+                          0.0)
+    rgb_act = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h_act, views_act))
+    return alpha_act, rgb_act, pts_delta
+
+
+def _run_active_pipeline(params, cfg: TiNeuVoxConfig, pts_act, tfeat_act,
+                         views_act, filled, interval):
+    """Run the active-sample pipeline, chunked when it exceeds the safe
+    single-fusion size (see _MAX_SINGLE_BUDGET)."""
+    A = pts_act.shape[0]
+    k = _active_chunks(A)
+    if k <= 1:
+        return _active_feature_pipeline(params, cfg, pts_act, tfeat_act,
+                                        views_act, filled, interval)
+    c = A // k
+
+    def resh(x):
+        return x.reshape(k, c, *x.shape[1:])
+
+    if views_act is None:
+        def body(_, inp):
+            p, t, f = inp
+            return None, _active_feature_pipeline(params, cfg, p, t, None,
+                                                  f, interval)
+        xs = (resh(pts_act), resh(tfeat_act), resh(filled))
+    else:
+        def body(_, inp):
+            p, t, v, f = inp
+            return None, _active_feature_pipeline(params, cfg, p, t, v, f,
+                                                  interval)
+        xs = (resh(pts_act), resh(tfeat_act), resh(views_act), resh(filled))
+    _, (alpha_act, rgb_act, pts_delta) = jax.lax.scan(body, None, xs)
+    return (alpha_act.reshape(A), rgb_act.reshape(A, 3),
+            pts_delta.reshape(A, 3))
+
 def query_density_features(params, cfg: TiNeuVoxConfig, pts, times_feature,
                            canonical: bool = False):
     """Shared sample->feature pipeline: PE, deformation, multi-scale grid
@@ -337,12 +405,6 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
         # TPU compile (regalloc RET_CHECK) and balloons compile time
         pts_act, tfeat_act, src, filled = jax.lax.optimization_barrier(
             (pts_act, tfeat_act, src, filled))
-        h_act, pts_delta = query_density_features(params, cfg, pts_act,
-                                                  tfeat_act)
-        density_act = nn.mlp(params["densitynet"], h_act)[..., 0]
-        alpha_act = jnp.where(filled,
-                              raw2alpha(density_act, cfg.act_shift, interval),
-                              0.0)
         if cfg.no_view_dir:
             views_act = None
         else:
@@ -354,8 +416,8 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
                 cam_feat = nn.mlp(params["camnet"], cam_emb)
                 v_emb = jnp.concatenate([v_emb, cam_feat], axis=-1)
             views_act = v_emb[ray_of]
-        rgb_act = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h_act,
-                                              views_act))
+        alpha_act, rgb_act, pts_delta = _run_active_pipeline(
+            params, cfg, pts_act, tfeat_act, views_act, filled, interval)
         alpha = compaction.scatter_back(alpha_act, src, M_full).reshape(N, S)
         rgb = compaction.scatter_back(rgb_act, src, M_full).reshape(N, S, 3)
         valid = compaction.scatter_back(
@@ -385,12 +447,6 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
         # TPU compile (regalloc RET_CHECK) and balloons compile time
         pts_act, tfeat_act, src, filled = jax.lax.optimization_barrier(
             (pts_act, tfeat_act, src, filled))
-        h_act, pts_delta = query_density_features(params, cfg, pts_act,
-                                                  tfeat_act)
-        density_act = nn.mlp(params["densitynet"], h_act)[..., 0]
-        alpha_act = jnp.where(filled,
-                              raw2alpha(density_act, cfg.act_shift, interval),
-                              0.0)
         if cfg.no_view_dir:
             views_act = None
         else:
@@ -402,8 +458,8 @@ def forward(params, cfg: TiNeuVoxConfig, rays_o, rays_d, viewdirs, times_sel,
                 cam_feat = nn.mlp(params["camnet"], cam_emb)
                 v_emb = jnp.concatenate([v_emb, cam_feat], axis=-1)
             views_act = v_emb[ray_of]
-        rgb_act = jax.nn.sigmoid(apply_rgbnet(params["rgbnet"], h_act,
-                                              views_act))
+        alpha_act, rgb_act, pts_delta = _run_active_pipeline(
+            params, cfg, pts_act, tfeat_act, views_act, filled, interval)
         alpha = compaction.scatter_back(alpha_act, src, M_full).reshape(N, S)
         rgb = compaction.scatter_back(rgb_act, src, M_full).reshape(N, S, 3)
         valid = compaction.scatter_back(

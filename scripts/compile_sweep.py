@@ -94,7 +94,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/apnerf_jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     results = {}
-    for name, extent, n_rand, frac in CASES:
+    only = set(sys.argv[1:])
+    cases = [c for c in CASES if not only or c[0] in only]
+    for name, extent, n_rand, frac in cases:
         print(f"=== {name}: extent={extent} N_rand={n_rand} af={frac}",
               flush=True)
         try:

@@ -90,3 +90,36 @@ def test_coarse_group_centre_test_is_conservative():
     a1 = np.asarray(out1["raw_alpha"])[both]
     a4 = np.asarray(out4["raw_alpha"])[both]
     np.testing.assert_allclose(a1, a4, rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_active_pipeline_matches_single(monkeypatch):
+    """Budgets above the safe single-fusion size run the active feature
+    pipeline as a lax.scan over equal chunks (tineuvox._run_active_pipeline,
+    the regalloc-RET_CHECK mitigation); output and parameter gradients must
+    be identical to the unchunked program."""
+    cfg, params, ro, rd, vd, t = _setup()
+    G = 4
+    S = cfg.max_steps(0.5)
+    N = ro.shape[0]
+    occ = jnp.ones(tuple(cfg.world_size), bool)
+    budget = N * (-(-S // G)) * G
+
+    def loss(p, cfg_):
+        out = _fwd(cfg_, p, ro, rd, vd, t, occ, budget)
+        return (out["rgb_marched"] ** 2).mean(), out
+
+    cfg4 = dataclasses.replace(cfg, occ_group=G)
+    (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params, cfg4)
+    # force chunking: every active block larger than 64 samples scans
+    monkeypatch.setenv("APNERF_MAX_SINGLE_BUDGET", "64")
+    assert tineuvox._active_chunks(budget) > 1, "test must exercise chunking"
+    (l2, out2), g2 = jax.value_and_grad(loss, has_aux=True)(params, cfg4)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1["rgb_marched"]),
+                               np.asarray(out2["rgb_marched"]),
+                               rtol=1e-6, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
