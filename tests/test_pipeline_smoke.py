@@ -1,0 +1,68 @@
+"""Fast wiring-level pipeline smoke test (runs in the DEFAULT suite).
+
+The full quality-gated pipeline test (test_pipeline.py) is slow-marked and
+deselected by the default ``-m 'not slow'`` addopts; without this smoke
+test a plain ``pytest`` run would exercise no stage1 -> export -> stage2 ->
+repose integration path at all (ADVICE r2). Iteration counts here are the
+minimum that keeps every stage's code path live — this asserts wiring and
+finiteness only; PSNR gates live in the slow test.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from apnerf.config.config import load_config
+from apnerf.data.load_data import load_data
+from apnerf.data.synthetic import generate_scene
+
+
+def test_pipeline_smoke(tmp_path):
+    from apnerf.train import stage1, stage2
+    from apnerf.train.export import export_point_cloud
+    from apnerf.models import temporal_points as tp
+
+    scene = generate_scene(str(tmp_path / "arm"), n_times=3, n_test=1,
+                           H=32, W=32)
+    cfg = load_config("apnerf/config/configs/nerf/jumpingjacks.py")
+    cfg.data.datadir = scene
+    cfg.data.half_res = False
+    cfg.model_and_render.num_voxels = 24 ** 3
+    cfg.model_and_render.num_voxels_base = 24 ** 3
+    cfg.train_config.pg_scale = []
+    cfg.train_config.N_rand = 128
+    cfg.pcd_model_and_render.canonical_pcd_num = 300
+    cfg.pcd_model_and_render.bone_length = 5.0
+    cfg.pcd_train_config.N_rand = 64
+    cfg.pcd_train_config.full_t_iter = 8
+    data = load_data(cfg.data, cfg, bg_col=cfg.train_config.bg_col)
+
+    params, mcfg, stats = stage1.scene_rep_reconstruction(
+        cfg, data, n_iters=40, log_every=40)
+    assert np.isfinite(stats["loss"][-1])
+
+    art = export_point_cloud(
+        params, mcfg, str(tmp_path), cfg.data.canonical_t,
+        float(cfg.model_and_render.stepsize), pcd_density_threshold=0.1,
+        skeleton_density_threshold=0.1, bone_length=5.0,
+        canonical_pcd_num=300, overwrite=True)
+    assert len(art["canonical"]["pcd"]) > 50
+    assert len(art["skeleton"]["bones"]) >= 1
+
+    scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
+    p2, m2, st2, stats2 = stage2.train_pcd(
+        cfg, data, art["canonical"], art["skeleton"], params, mcfg,
+        scene_bbox, n_iters=8, log_every=8, sample_budget=32)
+    assert np.isfinite(stats2["loss"][-1])
+
+    # repose forward through the full warp+KNN+composite path
+    J = m2.n_joints
+    rot = np.zeros((J, 4), np.float32)
+    rot[:, 0] = 1.0
+    ro = np.tile([[0, 0, 3.0]], (32, 1)).astype(np.float32)
+    rd = np.tile([[0, 0, -1.0]], (32, 1)).astype(np.float32)
+    rd[:, 0] = np.linspace(-0.3, 0.3, 32)
+    out = tp.forward(p2, m2, st2, jnp.asarray(ro), jnp.asarray(rd),
+                     jnp.asarray(rd), t=None, rot_params=jnp.asarray(rot),
+                     near=0.5, far=6.0, bg=1.0, render_depth=True)
+    rgb = np.asarray(out["rgb_marched"])
+    assert np.isfinite(rgb).all()
+    assert rgb.shape == (32, 3)
