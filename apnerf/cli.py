@@ -8,6 +8,7 @@ Mirrors the reference ``run.py`` CLI surface (run.py:33-78, 1242-1415):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import pickle
 import random
@@ -224,6 +225,16 @@ def main(argv=None):
         from .models import temporal_points as tp
         params, mcfg, state = load_temporalpoints(
             os.path.join(save_path, "temporalpoints_last.pkl"))
+        # render-time perf knobs follow the CONFIG, not the checkpoint:
+        # knn_share/knn_cand/coarse_stride are pure inference-time
+        # approximation/speed trade-offs (docs/performance.md), so a model
+        # trained exact can be re-rendered with the subgroup-shared KNN by
+        # editing the scene config — no retraining
+        ov = {k: int(cfg.pcd_model_and_render[k])
+              for k in ("knn_share", "knn_cand", "coarse_stride")
+              if k in cfg.pcd_model_and_render}
+        if ov:
+            mcfg = dataclasses.replace(mcfg, **ov)
         if args.degree_threshold > 0:
             times = np.unique(np.asarray(data_dict["times"]))
             state, prune_info = tp.simplify_skeleton(

@@ -109,6 +109,15 @@ pcd_model_and_render = dict(
     sample_budget=192,
     active_fraction=0.30,
     occ_res=64,
+    # subgroup-shared KNN + occupancy group width (docs/performance.md).
+    # knn_share=1 keeps the exact per-sample KNN for training parity with
+    # the reference; the CLI re-applies these keys at render time, so a
+    # model trained exact renders with the shared path by setting e.g.
+    # knn_share=16, coarse_stride=32 (measured 1.6x rays/s at >= 50 dB
+    # PSNR vs the exact render — PERF.md round-3 share sweep).
+    knn_share=1,
+    knn_cand=12,
+    coarse_stride=16,
     stepsize=0.5,
     world_bound_scale=1.05,
     fast_color_thres=1e-4,

@@ -45,9 +45,13 @@ def build_model(P=10_000, J=24, F=128):
         stepsize=0.5, voxel_size=0.012, voxel_size_ratio=1.0,
         act_shift=float(np.log(1 / (1 - 1e-3) - 1)),
         fast_color_thres=1e-4, sample_budget=96, max_steps=512,
-        # A/B knobs for the subgroup-shared KNN path (docs/performance.md)
-        knn_share=int(os.environ.get("APNERF_KNN_SHARE", "1")),
-        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "12")))
+        # subgroup-shared KNN render defaults (docs/performance.md): the
+        # round-3 TPU A/B measured share16/cand12 at coarse_stride 32 =
+        # 500k rays/s at 52.8 dB PSNR vs the exact-KNN render (gate:
+        # >= 50 dB, PERF.md round-3 share sweep); env knobs for A/B
+        knn_share=int(os.environ.get("APNERF_KNN_SHARE", "16")),
+        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "12")),
+        coarse_stride=int(os.environ.get("APNERF_COARSE_STRIDE", "32")))
 
     k = jax.random.PRNGKey(0)
     ks = jax.random.split(k, 3)

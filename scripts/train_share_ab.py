@@ -46,14 +46,25 @@ def main(n_iters=120):
         canonical_pcd_num=400, overwrite=True)
     scene_bbox = (np.asarray(mcfg.xyz_min), np.asarray(mcfg.xyz_max))
 
-    for name, share, kc in (("exact", 1, 12), ("share2_12", 2, 12),
-                            ("share4_12", 4, 12)):
+    if os.environ.get("APNERF_AB_SHARE16", "0") == "1":
+        # share16 needs 16-wide coarse groups and a budget that holds at
+        # least one of them: halve the step to lift max_steps above 32
+        cfg.pcd_model_and_render.stepsize = (
+            float(cfg.pcd_model_and_render.stepsize) / 2.0)
+        cfg.pcd_model_and_render.coarse_stride = 16
+        cases = (("exact", 1, 12), ("share16_12", 16, 12))
+        budget = 32
+    else:
+        cases = (("exact", 1, 12), ("share2_12", 2, 12),
+                 ("share4_12", 4, 12))
+        budget = 20
+    for name, share, kc in cases:
         cfg.pcd_model_and_render.knn_share = share
         cfg.pcd_model_and_render.knn_cand = kc
         p2, m2, st2, stats = stage2.train_pcd(
             cfg, data, art["canonical"], art["skeleton"], params, mcfg,
             scene_bbox, n_iters=n_iters, log_every=max(1, n_iters // 2),
-            sample_budget=20)
+            sample_budget=budget)
         psnr = stats.get("psnr", [float("nan")])
         print(f"{name:10s}: final train PSNR "
               f"{np.mean(psnr[-3:]):6.2f} dB  loss "
