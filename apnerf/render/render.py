@@ -91,9 +91,11 @@ def overlay_skeleton(img, joints_2d, bones, inverse_y=False, H=None):
     lim = 4 * max(img.shape[0], img.shape[1])
     pts = np.clip(np.nan_to_num(np.asarray(joints_2d), nan=-lim),
                   -lim, lim).astype(np.int32)
-    # force a WRITABLE contiguous copy: arrays view-converted from jax are
-    # read-only and cv2 draws in place
-    img = np.array(img, copy=True)
+    # force a WRITABLE C-CONTIGUOUS copy: arrays view-converted from jax are
+    # read-only, may carry a channel-major device layout (strides like
+    # (4W, 4, 4HW)), and cv2 draws in place — np.array's default order='K'
+    # preserves the strided layout, which cv2 5.x rejects
+    img = np.array(img, copy=True, order="C")
     for bone in bones:
         img = cv2.line(img, (int(pts[bone[0]][0]), int(pts[bone[0]][1])),
                        (int(pts[bone[1]][0]), int(pts[bone[1]][1])),
