@@ -53,7 +53,7 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
                     optimizer, Ks, poses, H, W, near, far, bg,
                     inverse_y=False, flip_x=False, flip_y=False,
                     use_occupancy=False, active_budget=None,
-                    zero1_mesh=None, zero1_min_size=None):
+                    zero1_mesh=None, zero1_min_size=None, n_micro=1):
     """Build the jitted stage-1 train step for one grid resolution.
 
     With ``use_occupancy`` the step takes an extra occupancy-volume arg and
@@ -64,6 +64,15 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
     over the mesh (ZeRO-1): gradients are reduce-scattered, the update runs
     shard-locally, and only the updated params are all-gathered — place
     ``opt_state`` with ``parallel.mesh.put_zero1`` to match.
+
+    With ``n_micro > 1`` the ray batch is split into ``n_micro`` equal
+    microbatches run as a ``lax.scan`` with gradient accumulation before
+    ONE optimizer update — numerically the full-batch step (all loss terms
+    are per-ray means over equal-size microbatches; ``active_budget`` then
+    applies per microbatch). This pins every budget/ray-dependent kernel
+    shape to the 4096-ray family the TPU compiler is known to handle
+    (PERF.md compile-envelope sweep: the 8192-ray zju-scale step trips the
+    regalloc RET_CHECK as a single fused program).
     """
     stepsize = float(cfg_train["_stepsize"])
     n_steps = cfg_model_static.max_steps(stepsize)
@@ -130,11 +139,44 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
             params, opt_state = optimizer.update(grads, opt_state, params)
         return params, opt_state
 
+    assert n_micro >= 1
+    assert n_micro == 1 or zero1_mesh is None, (
+        "ray microbatching and mesh data-parallelism are alternative "
+        "ray-splitting schemes; combine by lowering N_rand instead")
+
+    def grad_fn(params, batch, occ):
+        """(loss, mse), grads — microbatched when n_micro > 1 (equal-size
+        mean-of-means == full-batch mean for every per-ray loss term)."""
+        if n_micro == 1:
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, occ)
+
+        def split(x):
+            assert x.shape[0] % n_micro == 0, (
+                "N_rand must divide by ray_microbatch", x.shape[0], n_micro)
+            return x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+
+        mbs = {k: split(v) for k, v in batch.items()}
+
+        def body(carry, mb):
+            acc_l, acc_m, acc_g = carry
+            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mb, occ)
+            return (acc_l + l, acc_m + m,
+                    jax.tree_util.tree_map(jnp.add, acc_g, g)), None
+
+        zero_g = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), params)
+        (loss, mse, grads), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0), zero_g), mbs)
+        inv = 1.0 / n_micro
+        grads = jax.tree_util.tree_map(lambda x: x * inv, grads)
+        return (loss * inv, mse * inv), grads
+
     if use_occupancy:
         @jax.jit
         def step(params, opt_state, batch, tv_on, occ, tv_dense=1.0):
-            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, occ)
+            (loss, mse), grads = grad_fn(params, batch, occ)
             grads = add_tv_grad(params, grads, batch, tv_on, tv_dense)
             # fusion barrier: grads fused into the Adam update tips the
             # 160^3 program over the TPU compiler's regalloc bug
@@ -144,8 +186,7 @@ def make_train_step(cfg_model_static: tineuvox.TiNeuVoxConfig, cfg_train,
     else:
         @jax.jit
         def step(params, opt_state, batch, tv_on, tv_dense=1.0):
-            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, None)
+            (loss, mse), grads = grad_fn(params, batch, None)
             grads = add_tv_grad(params, grads, batch, tv_on, tv_dense)
             grads = jax.lax.optimization_barrier(grads)
             params, opt_state = apply_update(params, opt_state, grads)
@@ -277,9 +318,24 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
             from ..parallel import mesh as pmesh
             opt_state = pmesh.put_zero1(opt_state, mesh)
         budget = None
+        n_rand = int(cfg_train["N_rand"])
+        # ray microbatching (grad accumulation, numerically the full-batch
+        # step): auto-split batches above 4096 rays so every budget/ray-
+        # dependent kernel shape stays in the compile-envelope-swept 4096-ray
+        # family (PERF.md: the 8192-ray zju-scale single program trips the
+        # TPU regalloc RET_CHECK). 0 = auto; set ray_microbatch=1 to force
+        # the single fused program.
+        n_micro = int(cfg_train.get("ray_microbatch", 0))
+        if n_micro == 0:
+            n_micro = (n_rand + 4095) // 4096 if mesh is None else 1
+            while n_micro > 1 and n_rand % n_micro:
+                n_micro += 1
+        if n_micro > 1:
+            print(f"stage1: ray microbatching x{n_micro} "
+                  f"({n_rand // n_micro} rays/microbatch, grads accumulated)")
         if occupancy_active:
             n_s = model_cfg.max_steps(stepsize)
-            demanded = int(int(cfg_train["N_rand"]) * n_s * occ_frac)
+            demanded = int(n_rand // n_micro * n_s * occ_frac)
             # round DOWN to a multiple of 2^17: the TPU compiler's regalloc
             # RET_CHECKs on some non-power-of-two budget shapes at 160^3
             # scale (569344 crashes, 524288 compiles); coarse rounding
@@ -291,8 +347,9 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
             trunc = budget < demanded
             print(f"stage1: budget audit — active budget {budget} of "
                   f"{demanded} demanded "
-                  f"({int(cfg_train['N_rand'])} rays x {n_s} steps x "
-                  f"{occ_frac:g} active_fraction)"
+                  f"({n_rand // n_micro} rays x {n_s} steps x "
+                  f"{occ_frac:g} active_fraction"
+                  + (f", per microbatch x{n_micro})" if n_micro > 1 else ")")
                   + (f" — TRUNCATING {demanded - budget} samples "
                      f"({100 * (1 - budget / demanded):.1f}%); raise "
                      f"active_fraction to compensate" if trunc else " — ok"))
@@ -302,7 +359,8 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
                                inverse_y=cfg.data.inverse_y,
                                flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
                                use_occupancy=occupancy_active,
-                               active_budget=budget, zero1_mesh=mesh)
+                               active_budget=budget, zero1_mesh=mesh,
+                               n_micro=n_micro)
         return step, opt_state
 
     # ---- mid-stage resume ------------------------------------------

@@ -56,7 +56,10 @@ def run_case(name, extent, n_rand, occ_frac):
     }
     optimizer = create_optimizer(params, cfg_train)
     opt_state = optimizer.init(params)
-    budget = int(n_rand) * n_steps * occ_frac
+    # mirror stage1.build_segment: batches above 4096 rays run microbatched
+    # (grad accumulation) so every shape stays in the swept 4096-ray family
+    n_micro = max(1, int(n_rand) // 4096)
+    budget = int(n_rand) // n_micro * n_steps * occ_frac
     budget = max(4096, int(budget) // 131072 * 131072 or
                  int(budget) // 1024 * 1024)
     H = W = 400
@@ -65,7 +68,7 @@ def run_case(name, extent, n_rand, occ_frac):
     poses = jnp.asarray(np.eye(4, dtype=np.float32)[None].copy())
     step = stage1.make_train_step(
         cfg_model, cfg_train, optimizer, Kmat, poses, H, W, 0.5, 6.0, 1.0,
-        use_occupancy=True, active_budget=budget)
+        use_occupancy=True, active_budget=budget, n_micro=n_micro)
     # occupancy: random ~40% active
     rng = np.random.default_rng(0)
     gd = cfg_model.world_size
@@ -85,8 +88,8 @@ def run_case(name, extent, n_rand, occ_frac):
     dt = time.time() - t0
     assert np.isfinite(loss)
     return {"grid": [int(x) for x in gd], "n_steps": int(n_steps),
-            "budget": int(budget), "compile_s": round(dt, 1),
-            "loss": loss}
+            "budget": int(budget), "n_micro": n_micro,
+            "compile_s": round(dt, 1), "loss": loss}
 
 
 def main():
