@@ -777,21 +777,30 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
     else:
         agg = block_fn((q_sub, idx, cand_valid, views_emb))
 
-    # ---- scatter back to the dense [R, B] layout (per SAMPLE) ---------
+    # ---- scatter back to the dense [R, B] layout, one ROW per subgroup.
+    # A subgroup's ``share`` dst slots are consecutive and share-aligned in
+    # the flat [R*B] space by construction (group base = ray*B + gpos*c
+    # with share | c | B), and slot ownership is exclusive (src runs are
+    # disjoint across groups) — so the whole subgroup writes as ONE
+    # scatter row (invalid members carry zeros, the buffer default),
+    # cutting scatter updates x``share`` (XLA scatter is update-count
+    # bound: 4.2 ms -> ~0.3 ms for the rgb buffer at the bench shape).
     n_samp = S_pass * share
-    ok_flat = ok_sub.reshape(n_samp)
-    kd2 = agg["kd2"].reshape(n_samp)
-    src_flat = src_sub.reshape(n_samp)
-    dst = jnp.where(ok_flat & (kd2 <= query_radius), src_flat, M_full)
+    sample_ok = ok_sub & (agg["kd2"] <= query_radius)    # [S_pass, share]
+    n_rows = M_full // share
+    row_real = src_sub[:, 0] < M_full
+    dst_row = jnp.where(row_real, src_sub[:, 0] // share, n_rows)
 
     def scatter(x, width=None):
-        x = x.reshape(n_samp, *x.shape[2:])
-        shape = (M_full + 1,) if width is None else (M_full + 1, width)
-        out = jnp.zeros(shape, x.dtype).at[dst].set(x, mode="drop")
-        return out[:M_full]
+        x = jnp.where(sample_ok[(...,) + (None,) * (x.ndim - 2)], x, 0)
+        shape = ((n_rows + 1, share) if width is None
+                 else (n_rows + 1, share, width))
+        out = jnp.zeros(shape, x.dtype).at[dst_row].set(x, mode="drop")
+        return out[:n_rows].reshape((M_full,) if width is None
+                                    else (M_full, width))
 
-    valid_out = jnp.zeros(M_full + 1, bool).at[dst].set(
-        True, mode="drop")[:M_full].reshape(R, B)
+    valid_out = jnp.zeros((n_rows + 1, share), bool).at[dst_row].set(
+        sample_ok, mode="drop")[:n_rows].reshape(R, B)
     out = {
         "alpha": scatter(agg["alpha"]).reshape(R, B),
         "rgb": scatter(agg["rgb"], 3).reshape(R, B, 3),
