@@ -233,8 +233,14 @@ def main(argv=None):
         ov = {k: int(cfg.pcd_model_and_render[k])
               for k in ("knn_share", "knn_cand", "coarse_stride")
               if k in cfg.pcd_model_and_render}
-        if ov:
-            mcfg = dataclasses.replace(mcfg, **ov)
+        # rendering is forward-only, so the experimental fused aggregation
+        # kernel MAY be enabled here via the config (training checkpoints
+        # always carry fused_agg=False — it has no VJP; see stage2.py).
+        # Default follows the dataclass (off: measured slower than the XLA
+        # path, see TemporalPointsConfig.fused_agg).
+        if "fused_agg" in cfg.pcd_model_and_render:
+            ov["fused_agg"] = bool(cfg.pcd_model_and_render["fused_agg"])
+        mcfg = dataclasses.replace(mcfg, **ov)
         if args.degree_threshold > 0:
             times = np.unique(np.asarray(data_dict["times"]))
             state, prune_info = tp.simplify_skeleton(

@@ -17,6 +17,7 @@ Functional re-implementation of the reference ``TemporalPoints``
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -83,6 +84,15 @@ class TemporalPointsConfig:
     # per-sample two-phase KNN path).
     knn_share: int = 1
     knn_cand: int = 12
+    # fused Pallas aggregation kernel for the shared path (forward-only,
+    # no VJP; requires feat_depth=4, agg_bf16, no pose embedding, standard
+    # render outputs). EXPERIMENTAL, default OFF: measured 484k vs the XLA
+    # formulation's 598k rays/s on the bench workload — the in-kernel
+    # member fori_loop + 12-lane VPU math + small-GEMM overhead exceed the
+    # HBM traffic it saves (PERF.md round-3 fused-agg experiment). Kept
+    # flag-gated for future kernel work; exactness-tested in interpret
+    # mode either way.
+    fused_agg: bool = False
 
     @property
     def t_dim(self):
@@ -694,6 +704,45 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
     lbs_src = None if lbs_weights is None else permute(lbs_weights)
     cand_ar = jnp.arange(kc, dtype=jnp.int32)
 
+    from ..ops.knn import _tpu_default
+    from .tineuvox import apply_rgbnet as _rgbnet
+    use_fused = (cfg.fused_agg and pack_all and pose_embedding is None
+                 and not render_pcd_direct and not render_weights
+                 and cfg.feat_depth == 4 and cfg.posbase_pe == 10
+                 and _tpu_default()
+                 and os.environ.get("APNERF_FUSED_AGG", "1") == "1")
+    if use_fused:
+        # fused Pallas aggregation (kernels/agg_pallas.py): unpack + rank +
+        # PE + feat_net GEMMs + weighted reduction run in VMEM; only the
+        # [S_pass, share, F] aggregated features return to HBM. The
+        # density/rgb heads stay in XLA (identical numerics to the XLA
+        # path, and they fuse into the scatter-back).
+        from ..kernels.agg_pallas import fused_subgroup_agg
+        # candidate-major gather (idx transposed) so the kernel's aligned
+        # layouts need NO input transpose
+        pk_t = packed_src[idx.T]                   # [kc, S_pass, 24+F] bf16
+        geo_t = jax.lax.bitcast_convert_type(
+            pk_t[..., :24].reshape(kc, S_pass, 12, 2), jnp.float32)
+        # invalid candidate slots get a far sentinel: they rank last, their
+        # inverse-distance weight underflows, and any sample whose top-K
+        # reaches one gets kd2 >> radius (rejected) — one-sided like the
+        # XLA path's inf mask
+        nbr_t = jnp.where(cand_valid.T[..., None], geo_t[..., :3], 2e9)
+        h, kd2_t = fused_subgroup_agg(q_sub, nbr_t, geo_t[..., 3:],
+                                      pk_t[..., 24:], params["feat_net"],
+                                      share=share, K=K, eps=float(cfg.eps))
+        # heads run member-major ([share, S_pass, .]); only their small
+        # outputs transpose back to the scatter's subgroup-major layout
+        density = nn.mlp(params["densitynet"], h)[..., 0]
+        ve_t = (None if views_emb is None
+                else jnp.transpose(views_emb, (1, 0, 2)))
+        rgb_t = jax.nn.sigmoid(_rgbnet(params["rgbnet"], h, ve_t))
+        agg = {
+            "alpha": raw2alpha(density, cfg.act_shift, interval).T,
+            "rgb": jnp.transpose(rgb_t, (1, 0, 2)),
+            "kd2": kd2_t.T,
+        }
+
     def block_fn(args):
         """Aggregation for one block of SUBGROUPS: [blk, share, k']."""
         qb, idxb, cvb, veb = args                    # [blk, share, 3] etc.
@@ -756,26 +805,27 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
             res["lbs_w"] = (lw[:, None] * w[..., None]).sum(2)
         return res
 
-    blk = min(4096, S_pass)
-    while S_pass % blk != 0 and blk > 128:
-        blk //= 2
-    if S_pass % blk == 0 and S_pass > blk:
-        nb = S_pass // blk
-        args = (q_sub.reshape(nb, blk, share, 3),
-                idx.reshape(nb, blk, kc),
-                cand_valid.reshape(nb, blk, kc),
-                None if views_emb is None
-                else views_emb.reshape(nb, blk, share, -1))
-        if views_emb is None:
-            mapped = jax.lax.map(
-                lambda a: block_fn((a[0], a[1], a[2], None)),
-                (args[0], args[1], args[2]))
+    if not use_fused:
+        blk = min(4096, S_pass)
+        while S_pass % blk != 0 and blk > 128:
+            blk //= 2
+        if S_pass % blk == 0 and S_pass > blk:
+            nb = S_pass // blk
+            args = (q_sub.reshape(nb, blk, share, 3),
+                    idx.reshape(nb, blk, kc),
+                    cand_valid.reshape(nb, blk, kc),
+                    None if views_emb is None
+                    else views_emb.reshape(nb, blk, share, -1))
+            if views_emb is None:
+                mapped = jax.lax.map(
+                    lambda a: block_fn((a[0], a[1], a[2], None)),
+                    (args[0], args[1], args[2]))
+            else:
+                mapped = jax.lax.map(block_fn, args)
+            agg = {k2: v.reshape(S_pass, *v.shape[2:])
+                   for k2, v in mapped.items()}
         else:
-            mapped = jax.lax.map(block_fn, args)
-        agg = {k2: v.reshape(S_pass, *v.shape[2:])
-               for k2, v in mapped.items()}
-    else:
-        agg = block_fn((q_sub, idx, cand_valid, views_emb))
+            agg = block_fn((q_sub, idx, cand_valid, views_emb))
 
     # ---- scatter back to the dense [R, B] layout, one ROW per subgroup.
     # A subgroup's ``share`` dst slots are consecutive and share-aligned in

@@ -80,6 +80,72 @@ def test_knn_count_interpret_matches_bruteforce():
     np.testing.assert_array_equal(cnt, ref)
 
 
+def test_fused_agg_interpret_matches_xla():
+    """kernels/agg_pallas vs the XLA shared-aggregation math (the block_fn
+    formulation of temporal_points._aggregate_subgroup_shared): aggregated
+    features, kth distances and the top-K selection must agree within bf16
+    tolerance on random data, including invalid-candidate sentinels."""
+    import jax
+    from apnerf.kernels.agg_pallas import fused_subgroup_agg
+    from apnerf.ops import encoding, nn
+
+    rng = np.random.default_rng(5)
+    S, share, kc, K, F, pe = 16, 4, 12, 8, 32, 10
+    eps = 1e-6
+    q = rng.normal(size=(S, share, 3)).astype(np.float32) * 0.2
+    nbr = (q[:, :1] + rng.normal(size=(S, kc, 3)).astype(np.float32)
+           * 0.1).astype(np.float32)
+    # a few invalid candidates (sentinel positions)
+    inv = rng.uniform(size=(S, kc)) < 0.15
+    nbr[inv] = 2e9
+    # random rotations (orthonormality not required by the math)
+    rot = rng.normal(size=(S, kc, 3, 3)).astype(np.float32)
+    feat = (rng.normal(size=(S, kc, F)).astype(np.float32) * 0.3)
+    fin = 3 * (1 + 2 * pe) + F
+    fp = nn.init_mlp(jax.random.PRNGKey(0), [fin] + [F] * 4)
+
+    # kernel API: candidate-major tables, member-major outputs
+    h, kd2 = fused_subgroup_agg(
+        jnp.asarray(q), jnp.asarray(nbr.transpose(1, 0, 2)),
+        jnp.asarray(rot.reshape(S, kc, 9).transpose(1, 0, 2)),
+        jnp.asarray(feat.transpose(1, 0, 2), jnp.bfloat16), fp,
+        share=share, K=K, eps=eps, sb=8)
+    h = jnp.transpose(h, (1, 0, 2))
+    kd2 = jnp.transpose(kd2, (1, 0))
+
+    # ---- XLA reference (mirrors block_fn with agg_bf16) ---------------
+    rel = q[:, :, None, :] - nbr[:, None, :, :]           # [S, sh, kc, 3]
+    to_nn = (rel ** 2).sum(-1)
+    ar = np.arange(kc)
+    less = (to_nn[..., :, None] > to_nn[..., None, :]) | (
+        (to_nn[..., :, None] == to_nn[..., None, :])
+        & (ar[:, None] > ar[None, :]))
+    rank = less.sum(-1)
+    top = rank < K
+    kd2_ref = np.where(top, to_nn, -np.inf).max(-1)
+    w = np.where(top, 1.0 / (to_nn + eps), 0.0)
+    w = w / np.maximum(w.sum(-1, keepdims=True), 1e-30)
+    rc = np.einsum("mkab,mskb->mska", rot, rel)
+    emb = np.asarray(encoding.poc_fre(jnp.asarray(rc),
+                                      encoding.poc_freqs(pe)))
+    x = np.concatenate(
+        [emb, np.broadcast_to(feat[:, None], (S, share, kc, F))], -1)
+    fpb = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), fp)
+    h_k = np.asarray(nn.mlp(fpb, jnp.asarray(x, jnp.bfloat16),
+                            activation=nn.leaky_relu,
+                            final_activation=nn.leaky_relu),
+                     np.float32)
+    h_ref = (h_k * w[..., None]).sum(2)
+
+    # valid samples: those whose top-K stayed within real candidates
+    ok = kd2_ref < 1e17
+    np.testing.assert_allclose(np.asarray(kd2)[ok], kd2_ref[ok],
+                               rtol=1e-5, atol=1e-6)
+    assert ((np.asarray(kd2) > 1e17) == ~ok).all()
+    np.testing.assert_allclose(np.asarray(h)[ok], h_ref[ok],
+                               rtol=0.05, atol=0.05)
+
+
 def test_scatter_kernel_interpret_matches_numpy():
     from apnerf.kernels.scatter_pallas import sorted_window_accumulate
     rng = np.random.default_rng(4)
