@@ -180,11 +180,11 @@ def fused_subgroup_agg(q_sub, nbr, rot, feat, featnet_params, share: int,
     """
     kc, S = nbr.shape[0], nbr.shape[1]
     F = feat.shape[-1]
-    pe = 10
-    fin = 3 * (1 + 2 * pe) + F
     layers = featnet_params["layers"]
     assert len(layers) == 4, "kernel is specialised to feat_depth=4"
-    assert layers[0]["w"].shape == (fin, F), (layers[0]["w"].shape, fin, F)
+    fin = layers[0]["w"].shape[0]
+    pe = (fin - F - 3) // 6                       # posbase_pe from the shape
+    assert fin == 3 * (1 + 2 * pe) + F, (fin, F, pe)
 
     # permute the first layer's weight ROWS from the reference poc_fre
     # channel order ([x(3), sin c-major (3*pe), cos c-major, feat]) to the

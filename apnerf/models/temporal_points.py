@@ -706,11 +706,14 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
 
     from ..ops.knn import _tpu_default
     from .tineuvox import apply_rgbnet as _rgbnet
+    # APNERF_FUSED_AGG: "0" disables, "force" enables even off-TPU (the
+    # kernel then runs in interpret mode — integration tests only)
+    _fused_env = os.environ.get("APNERF_FUSED_AGG", "1")
     use_fused = (cfg.fused_agg and pack_all and pose_embedding is None
                  and not render_pcd_direct and not render_weights
-                 and cfg.feat_depth == 4 and cfg.posbase_pe == 10
-                 and _tpu_default()
-                 and os.environ.get("APNERF_FUSED_AGG", "1") == "1")
+                 and cfg.feat_depth == 4
+                 and (_tpu_default() or _fused_env == "force")
+                 and _fused_env != "0")
     if use_fused:
         # fused Pallas aggregation (kernels/agg_pallas.py): unpack + rank +
         # PE + feat_net GEMMs + weighted reduction run in VMEM; only the

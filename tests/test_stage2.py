@@ -451,6 +451,26 @@ def test_knn_share_full_candidates_matches_exact():
             rtol=2e-4, atol=2e-4, err_msg=key)
 
 
+def test_fused_agg_full_forward_matches_xla(monkeypatch):
+    """End-to-end forward through the fused Pallas aggregation (forced into
+    interpret mode off-TPU) vs the XLA shared path: same model, same rays,
+    composited images must agree within bf16 tolerance."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    mcfg_s = dataclasses.replace(mcfg, knn_share=4, knn_cand=10,
+                                 fused_agg=False)
+    base = _fwd(params, mcfg_s, state)
+    monkeypatch.setenv("APNERF_FUSED_AGG", "force")
+    mcfg_f = dataclasses.replace(mcfg_s, fused_agg=True)
+    fused = _fwd(params, mcfg_f, state)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        if key not in base:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(base[key]),
+            rtol=2e-2, atol=2e-2, err_msg=key)
+
+
 def test_knn_share_small_candidates_close_and_trainable():
     """kc = 12 shared candidates: the approximation must stay visually
     small on the toy scene and gradients must flow."""
