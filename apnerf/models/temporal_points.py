@@ -440,6 +440,153 @@ def prepare_occupancy(cfg: TemporalPointsConfig, state, t_hat_pcd,
     return info
 
 
+def _sample_groups_fused(cfg: TemporalPointsConfig, rays_o, rays_d, near,
+                         far, bb_min, bb_max, occ, occ_cell, occ_margin,
+                         pcd, tables, query_radius, M_act):
+    """Fused group sampling + compaction: positions only for SELECTED groups.
+
+    The separate ``sample_rays_compact`` + ``compact_active`` pair
+    materialises ALL [R, B, 3] sample positions (plus their bbox tests)
+    before the group compaction throws ~70% of them away. Here the
+    pipeline stays at GROUP granularity end to end — per-ray centre-hit
+    budgeting, global compaction, Morton ordering, the hierarchical k-NN
+    prefilter — and member positions are computed only for the ``G_sel``
+    surviving groups (c x fewer position evals, no dense intermediate).
+
+    Two deliberate deltas vs the pair (both semantics-preserving outside
+    budget-truncation boundaries, where selection order is an
+    implementation detail either way):
+    * the group representative is the group's ray-segment MIDPOINT (the
+      centre step position) instead of the min-corner of member positions
+      — every member is within (c-1)/2*stepdist of it, so the prefilter
+      threshold tightens from (sqrt(r)+(c-1)*d)^2 to
+      (sqrt(r)+(c-1)/2*d)^2 (still conservative: a member within sqrt(r)
+      of k points puts the midpoint within sqrt(r)+(c-1)/2*d of them);
+    * the budget audit's act_demand counts member SLOTS of non-empty
+      groups (group granularity) rather than bbox-valid samples.
+
+    Returns (q [M_slots, 3], src [M_slots], act_ok [M_slots],
+    (ray_of_g, c), step_id [R, B], act_demand).
+    """
+    stepdist = cfg.stepsize * cfg.voxel_size
+    t_min, t_max = ray_aabb(rays_o, rays_d, bb_min, bb_max, near, far)
+    n_steps = jnp.maximum(jnp.ceil((t_max - t_min) / stepdist), 1.0)
+    start = rays_o + rays_d * t_min[:, None]
+    unit_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    S = cfg.max_steps
+    R = rays_o.shape[0]
+    B = cfg.sample_budget
+    c = cfg.coarse_stride
+    Sc = (S + c - 1) // c
+    Bc = B // c
+
+    # ---- per-ray group budgeting (same centre-hit test + conservative
+    # fallback as sample_rays_compact's coarse branch) -------------------
+    jc = jnp.arange(Sc, dtype=jnp.float32)
+    tc = (jc * c + (c - 1) / 2.0) * stepdist
+    pc = start[:, None, :] + unit_d[:, None, :] * tc[None, :, None]
+
+    def centre_hit(_):
+        dims = occ.shape[0]
+        idx = jnp.clip(
+            jnp.floor((pc - bb_min) / occ_cell).astype(jnp.int32),
+            0, dims - 1)
+        return occ[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    def member_hit(_):
+        tm = (jc[:, None] * c
+              + jnp.arange(c, dtype=jnp.float32)[None, :]) * stepdist
+        pm = (start[:, None, None, :]
+              + unit_d[:, None, None, :] * tm[None, :, :, None])
+        return occupancy_lookup(occ, occ_cell, bb_min, pm).any(-1)
+
+    half = (c - 1) / 2.0 * stepdist
+    coarse_ok = half <= occ_margin * (1 + 1e-6) + 1e-12
+    hit = jax.lax.cond(coarse_ok, centre_hit, member_hit, operand=None)
+    hit = hit & (jc[None, :] * c < n_steps[:, None])
+    src_c = _compact_per_ray(hit, Bc)                     # [R, Bc], ==Sc empty
+
+    # dense step table for the depth composite (pure index math, no
+    # positions): slot j of budgeted group g sits at step src_c*c + j
+    src_steps = (src_c[:, :, None] * c
+                 + jnp.arange(c, dtype=jnp.int32)[None, None, :]
+                 ).reshape(R, B)
+    step_id = jnp.minimum(src_steps.astype(jnp.float32), S - 1)
+
+    # ---- global group compaction (depth-major drop order, as
+    # compact_active) ----------------------------------------------------
+    M_grp = R * Bc
+    G_act = M_act // c
+    gvalid = src_c < Sc                                   # [R, Bc]
+    act_demand = (gvalid.sum() * c).astype(jnp.int32)
+    gv = gvalid.T.reshape(M_grp)
+    pos = jnp.cumsum(gv) - 1
+    keep = gv & (pos < G_act)
+    dest = jnp.where(keep, pos, G_act)
+    gid = jnp.arange(M_grp, dtype=jnp.int32)
+    gsrc = jnp.full((G_act + 1,), M_grp, jnp.int32)
+    gsrc = gsrc.at[dest].set((gid % R) * Bc + gid // R, mode="drop")[:G_act]
+
+    def group_centre(gs):
+        ray = jnp.minimum(gs // Bc, R - 1)
+        slot = jnp.minimum(gs % Bc, Bc - 1)
+        gstep = src_c[ray, slot].astype(jnp.float32)
+        t_g = (gstep * c + (c - 1) / 2.0) * stepdist
+        rep = start[ray] + unit_d[ray] * t_g[:, None]
+        return jnp.where((gs < M_grp)[:, None], rep, 1e9)
+
+    grep = group_centre(gsrc)
+    from ..ops.knn import morton_codes
+    gperm = jnp.argsort(morton_codes(grep, bb_min, bb_max))
+    gsrc = gsrc[gperm]
+
+    if (query_radius is not None and pcd is not None
+            and cfg.group_pass_fraction > 0):
+        grep_s = grep[gperm]
+        thr = float((np.sqrt(query_radius) + half) ** 2)  # midpoint bound
+        from ..ops.knn import knn_count
+        gcnt = knn_count(jax.lax.stop_gradient(grep_s),
+                         jax.lax.stop_gradient(pcd),
+                         radius2=thr, assume_sorted=True,
+                         point_tables=tables, rt=cfg.knn_rt)
+        gkeep = gcnt >= cfg.neighbours
+        G2 = int(G_act * cfg.group_pass_fraction)
+        G2 = max(128, (G2 + 127) // 128 * 128)
+        G2 = min(G2, G_act)
+        if G2 < G_act:
+            gpos = jnp.cumsum(gkeep) - 1
+            keep2 = gkeep & (gpos < G2)
+            gdest = jnp.where(keep2, gpos, G2)
+            gsel = jnp.full((G2 + 1,), M_grp, jnp.int32)
+            gsrc = gsel.at[gdest].set(gsrc, mode="drop")[:G2]
+        else:
+            gsrc = jnp.where(gkeep, gsrc, M_grp)
+
+    # ---- member expansion: positions ONLY for the selected groups ------
+    G_sel = gsrc.shape[0]
+    M_slots = G_sel * c
+    real = gsrc < M_grp
+    ray_of_g = jnp.minimum(gsrc // Bc, R - 1)
+    slot_of_g = jnp.minimum(gsrc % Bc, Bc - 1)
+    gstep = src_c[ray_of_g, slot_of_g]                    # [G_sel]
+    steps = (gstep[:, None] * c
+             + jnp.arange(c, dtype=jnp.int32)[None, :])   # [G_sel, c]
+    step_f = steps.astype(jnp.float32)
+    pos_m = (start[ray_of_g][:, None, :]
+             + unit_d[ray_of_g][:, None, :] * (step_f[..., None] * stepdist))
+    in_bbox = jnp.all((pos_m >= bb_min) & (pos_m <= bb_max), axis=-1)
+    valid_m = (real[:, None] & in_bbox & (steps < S)
+               & (step_f < n_steps[ray_of_g][:, None]))
+    q = jnp.where(valid_m[..., None], pos_m, 1e9).reshape(M_slots, 3)
+    M_full = R * B
+    base = ray_of_g * B + slot_of_g * c
+    src = (jnp.where(real, base, M_full)[:, None]
+           + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(M_slots)
+    src = jnp.minimum(src, M_full)
+    act_ok = q[:, 0] < 1e8
+    return q, src, act_ok, (ray_of_g, c), step_id, act_demand
+
+
 def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max,
                    pcd=None, tables=None, query_radius=None):
     """Global active-sample compaction + Morton ordering.
@@ -887,26 +1034,41 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         occ_info = prepare_occupancy(cfg, state, t_hat_pcd, query_radius,
                                      calc_min_max)
     bb_min, bb_max = occ_info["bb_min"], occ_info["bb_max"]
-    pts, valid, step_id = sample_rays_compact(
-        cfg, rays_o, rays_d, near, far, bb_min, bb_max,
-        occ=occ_info["occ"], occ_cell=occ_info["occ_cell"],
-        occ_margin=occ_info.get("occ_margin", 0.0))
     B = cfg.sample_budget
     M_full = R * B
     M_act = int(M_full * cfg.active_fraction)
     M_act = max(1024, ((M_act + 1023) // 1024) * 1024)
     M_act = min(M_act, M_full)
     tables = occ_info.get("knn_tables")
-    q, src, act_ok, group_expand = compact_active(
-        cfg, pts, valid, bb_min, bb_max, pcd=t_hat_pcd, tables=tables,
-        query_radius=query_radius)
+    c = cfg.coarse_stride
+    if (occ_info.get("occ") is not None and B % c == 0 and M_act % c == 0
+            and os.environ.get("APNERF_FUSED_SAMPLER", "1") == "1"):
+        # fused group pipeline: member positions are computed only for the
+        # groups that survive compaction + the k-NN prefilter (c x fewer
+        # position evals than the sample_rays_compact + compact_active
+        # pair, and no dense [R, B, 3] intermediate)
+        q, src, act_ok, group_expand, step_id, act_demand = (
+            _sample_groups_fused(
+                cfg, rays_o, rays_d, near, far, bb_min, bb_max,
+                occ_info["occ"], occ_info["occ_cell"],
+                occ_info.get("occ_margin", 0.0), t_hat_pcd, tables,
+                query_radius, M_act))
+    else:
+        pts, valid, step_id = sample_rays_compact(
+            cfg, rays_o, rays_d, near, far, bb_min, bb_max,
+            occ=occ_info["occ"], occ_cell=occ_info["occ_cell"],
+            occ_margin=occ_info.get("occ_margin", 0.0))
+        q, src, act_ok, group_expand = compact_active(
+            cfg, pts, valid, bb_min, bb_max, pcd=t_hat_pcd, tables=tables,
+            query_radius=query_radius)
+        act_demand = valid.sum().astype(jnp.int32)
     share = int(cfg.knn_share)
     if (share > 1 and group_expand is not None
             and group_expand[1] % share == 0):
         out = _aggregate_subgroup_shared(
             params, cfg, state, t_hat_pcd, inv_rot, viewdirs, q, src,
             act_ok, R, B, M_full, M_act, query_radius, tables,
-            act_demand=valid.sum().astype(jnp.int32),
+            act_demand=act_demand,
             pose_embedding=pose_embedding,
             render_pcd_direct=render_pcd_direct,
             render_weights=render_weights, lbs_weights=lbs_weights)
@@ -1127,7 +1289,7 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         # truncated samples on this chunk (renderers warn; the measured
         # fidelity at the default fractions is in the config docstring)
         "budget_audit": jnp.stack([
-            valid.sum().astype(jnp.int32), jnp.int32(M_act),
+            act_demand, jnp.int32(M_act),
             nn_ok.sum().astype(jnp.int32), jnp.int32(n_slots)]),
     }
     if render_pcd_direct:

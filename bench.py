@@ -181,6 +181,13 @@ def main():
         return outs
 
     run_once()  # compile + warm caches
+    # APNERF_PROFILE=<dir>: capture a jax.profiler trace of one steady-state
+    # frame (SURVEY.md §5.1 observability; view with tensorboard/xprof)
+    prof_dir = os.environ.get("APNERF_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            run_once()
+        print(f"# trace written to {prof_dir}", flush=True)
     t0 = time.time()
     n_iters = 3
     for _ in range(n_iters):

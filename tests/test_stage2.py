@@ -451,6 +451,40 @@ def test_knn_share_full_candidates_matches_exact():
             rtol=2e-4, atol=2e-4, err_msg=key)
 
 
+def test_fused_group_sampler_matches_legacy_pair(monkeypatch):
+    """_sample_groups_fused (positions only for selected groups, midpoint
+    reps, tighter prefilter bound) vs the sample_rays_compact +
+    compact_active pair: on a non-truncating scene the composited outputs
+    must agree — selection-order deltas only matter at budget-truncation
+    boundaries, and the tighter prefilter can only prune groups whose
+    samples fail the kd2 cutoff anyway."""
+    params, mcfg, state, *_ = _toy_model()
+    fused = _fwd(params, mcfg, state, render_pcd_direct=True)
+    monkeypatch.setenv("APNERF_FUSED_SAMPLER", "0")
+    legacy = _fwd(params, mcfg, state, render_pcd_direct=True)
+    for key in ("rgb_marched", "alphainv_last", "depth",
+                "rgb_marched_direct"):
+        if key not in legacy:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(legacy[key]),
+            rtol=2e-5, atol=2e-5, err_msg=key)
+
+
+def test_fused_group_sampler_matches_legacy_shared(monkeypatch):
+    """Same equivalence through the subgroup-shared aggregation path."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    mcfg_s = dataclasses.replace(mcfg, knn_share=2, knn_cand=10)
+    fused = _fwd(params, mcfg_s, state)
+    monkeypatch.setenv("APNERF_FUSED_SAMPLER", "0")
+    legacy = _fwd(params, mcfg_s, state)
+    for key in ("rgb_marched", "alphainv_last"):
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(legacy[key]),
+            rtol=2e-5, atol=2e-5, err_msg=key)
+
+
 def test_fused_agg_full_forward_matches_xla(monkeypatch):
     """End-to-end forward through the fused Pallas aggregation (forced into
     interpret mode off-TPU) vs the XLA shared path: same model, same rays,
