@@ -919,22 +919,48 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
         kd2 = jnp.max(jnp.where(top, to_nn, -jnp.inf), axis=-1)
         w = jnp.where(top, 1.0 / (to_nn + cfg.eps), 0.0)
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-30)
-        rot_k = geo[..., 3:].reshape(geo.shape[0], kc, 3, 3)
-        rel_canon = jnp.einsum("mkab,mskb->mska", rot_k, rel_p,
-                               precision=HIGH)
+        if kc > K:
+            # compact the k' candidates to the per-member top-K BEFORE the
+            # HBM-bound feat_net MLP: the (kc - K) losers carry zero weight,
+            # so running PE + MLP on them is pure waste (1/3 of the
+            # member-candidate activation traffic at kc=12, K=8). rank is a
+            # deterministic total order (ties broken by candidate position),
+            # so scattering candidate k to slot rank[k] is an exact one-hot
+            # permutation-compaction; the fp32 one-hot contractions at
+            # HIGHEST precision reproduce the selected values bit-exactly.
+            slot = jnp.arange(K, dtype=rank.dtype)
+            sel = (rank[..., None, :] == slot[:, None]) & top[..., None, :]
+            self_f = sel.astype(jnp.float32)         # [blk, share, K, k']
+            w_sel = jnp.einsum("mska,msa->msk", self_f, w, precision=HIGH)
+            rel_sel = jnp.einsum("mska,msac->mskc", self_f, rel_p,
+                                 precision=HIGH)
+            rot_sel = jnp.einsum("mska,mar->mskr", self_f, geo[..., 3:],
+                                 precision=HIGH)
+            feat_sel = jnp.einsum("mska,maf->mskf",
+                                  self_f.astype(feat_k.dtype), feat_k)
+            rel_canon = jnp.einsum(
+                "mskab,mskb->mska",
+                rot_sel.reshape(*rot_sel.shape[:3], 3, 3), rel_sel,
+                precision=HIGH)
+        else:
+            w_sel = w
+            feat_sel = jnp.broadcast_to(
+                feat_k[:, None], (feat_k.shape[0], rel_p.shape[1],
+                                  kc, feat_k.shape[-1]))
+            rot_k = geo[..., 3:].reshape(geo.shape[0], kc, 3, 3)
+            rel_canon = jnp.einsum("mkab,mskb->mska", rot_k, rel_p,
+                                   precision=HIGH)
         rel_emb = encoding.poc_fre(rel_canon,
                                    encoding.poc_freqs(cfg.posbase_pe))
         in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
-        feat_in = [rel_emb.astype(in_dt),
-                   jnp.broadcast_to(feat_k[:, None],
-                                    (*rel_emb.shape[:3], feat_k.shape[-1]))]
+        feat_in = [rel_emb.astype(in_dt), feat_sel.astype(in_dt)]
         if pose_embedding is not None:
             pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, 1, -1),
                                   (*rel_emb.shape[:3], pose_embedding.size))
             feat_in.append(pe.astype(in_dt))
         h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
                      activation=nn.leaky_relu, final_activation=nn.leaky_relu)
-        h = (h_k.astype(jnp.float32) * w[..., None]).sum(2)  # [blk, share, F]
+        h = (h_k.astype(jnp.float32) * w_sel[..., None]).sum(2)
         density = nn.mlp(params["densitynet"], h)[..., 0]
         alpha = raw2alpha(density, cfg.act_shift, interval)
         rgb = jax.nn.sigmoid(apply_rgbnet(
