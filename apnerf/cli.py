@@ -240,7 +240,23 @@ def main(argv=None):
         # path, see TemporalPointsConfig.fused_agg).
         if "fused_agg" in cfg.pcd_model_and_render:
             ov["fused_agg"] = bool(cfg.pcd_model_and_render["fused_agg"])
+        # render_exact=True is the one-knob escape back to the exact
+        # per-sample KNN (reference semantics, lib/temporalpoints.py:440),
+        # overriding any shared-KNN speed knobs in the scene config.
+        if bool(cfg.pcd_model_and_render.get("render_exact", False)):
+            ov["knn_share"] = 1
         mcfg = dataclasses.replace(mcfg, **ov)
+        share = int(getattr(mcfg, "knn_share", 1))
+        if share > 1:
+            # be loud when an approximate mode is active: eval numbers from
+            # this render are NOT exact-KNN numbers (VERDICT r3 #8). PSNR
+            # impact classes from the measured A/B (PERF.md round-3 sweep).
+            impact = (">= 60 dB vs exact" if share <= 4 else
+                      ">= 50 dB vs exact" if share <= 16 else
+                      "~50 dB vs exact (measured at share 32)")
+            print(f"render: APPROXIMATE subgroup-shared KNN active "
+                  f"(knn_share={share}, impact class {impact}); set "
+                  f"pcd_model_and_render.render_exact=True for exact KNN")
         if args.degree_threshold > 0:
             times = np.unique(np.asarray(data_dict["times"]))
             state, prune_info = tp.simplify_skeleton(

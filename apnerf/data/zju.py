@@ -3,15 +3,18 @@
 ``cache_train.pickle`` / ``cache_test.pickle`` with (optionally
 blosc-compressed) per-frame image/mask arrays; background compositing;
 ``coordinate_scale = 1.5``; static render pose repeated 80x.
-Parity: reference lib/load_zju.py:72-176. ``blosc`` is not available in this
-image, so compressed caches are gated behind a clear error while raw-array
-caches load fine.
+Parity: reference lib/load_zju.py:72-176. Compressed caches decode through
+the ``blosc`` package when present, else through the dependency-free
+blosc1 frame decoder in apnerf.data.bloscdec (native blosclz + stdlib
+zlib), so real WIM-exported caches load in this image too.
 """
 from __future__ import annotations
 
 import pickle
 
 import numpy as np
+
+from . import bloscdec
 
 try:
     import blosc  # noqa: F401
@@ -30,11 +33,9 @@ COORDINATE_SCALE = 1.5  # from WIM preprocessing
 def _unpack(arr, compression):
     if not compression:
         return arr
-    if not HAVE_BLOSC:
-        raise RuntimeError(
-            "blosc is not installed in this environment; re-export the ZJU "
-            "cache uncompressed (compression=False) to use it here")
-    return blosc.unpack_array(arr)
+    if HAVE_BLOSC:
+        return blosc.unpack_array(arr)
+    return bloscdec.unpack_array(arr)
 
 
 def load_zju(pickle_path, video_len=300, size: int = 512, compression=None,

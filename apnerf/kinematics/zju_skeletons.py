@@ -20,12 +20,16 @@ import numpy as np
 # SMPL kinematic tree: (parent, child) over the standard 24 joints
 # 0 pelvis, 1/2 L/R hip, 3 spine1, 4/5 L/R knee, 6 spine2, 7/8 L/R ankle,
 # 9 spine3, 10/11 L/R foot, 12 neck, 13/14 L/R collar, 15 head,
-# 16/17 L/R shoulder, 18/19 L/R elbow, 20/21 L/R wrist, 22/23 L/R hand
+# 16/17 L/R shoulder, 18/19 L/R elbow, 20/21 L/R wrist, 22/23 L/R hand.
+# The last two rows follow the reference table (zju_skeletons.py:5-9 after
+# its [-1,0] root row is dropped, run.py:1221), which parents the hands to
+# joint 15 rather than the wrists — kept verbatim for parity with its
+# experiments.
 SMPL_BONES = [
     [0, 1], [0, 2], [0, 3], [1, 4], [2, 5], [3, 6], [4, 7], [5, 8],
     [6, 9], [7, 10], [8, 11], [9, 12], [9, 13], [9, 14], [12, 15],
     [13, 16], [14, 17], [16, 18], [17, 19], [18, 20], [19, 21],
-    [20, 22], [21, 23],
+    [15, 22], [15, 23],
 ]
 
 COORDINATE_SCALE = 1.5  # WIM preprocessing scale for ZJU

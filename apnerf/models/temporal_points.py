@@ -929,6 +929,9 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
             # permutation-compaction; the fp32 one-hot contractions at
             # HIGHEST precision reproduce the selected values bit-exactly.
             slot = jnp.arange(K, dtype=rank.dtype)
+            # rank == slot with slot < K already implies top (top = rank < K);
+            # the & top term is defensive only, kept so a future rank change
+            # cannot silently widen sel.
             sel = (rank[..., None, :] == slot[:, None]) & top[..., None, :]
             self_f = sel.astype(jnp.float32)         # [blk, share, K, k']
             w_sel = jnp.einsum("mska,msa->msk", self_f, w, precision=HIGH)
@@ -936,8 +939,12 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
                                  precision=HIGH)
             rot_sel = jnp.einsum("mska,mar->mskr", self_f, geo[..., 3:],
                                  precision=HIGH)
+            # precision=HIGH so the fp32 (agg_bf16=False) path is not rounded
+            # to bf16 by the TPU DEFAULT matmul precision; one-hot contraction
+            # at HIGH reproduces the selected rows bit-exactly (ADVICE r3).
             feat_sel = jnp.einsum("mska,maf->mskf",
-                                  self_f.astype(feat_k.dtype), feat_k)
+                                  self_f.astype(feat_k.dtype), feat_k,
+                                  precision=HIGH)
             rel_canon = jnp.einsum(
                 "mskab,mskb->mska",
                 rot_sel.reshape(*rot_sel.shape[:3], 3, 3), rel_sel,

@@ -91,21 +91,14 @@ def _probe_backend(timeout_s: float = 180.0):
         os._exit(3)
 
 
-def main():
+def measure_mode(params, mcfg, state):
+    """Render frames in the given config.
+
+    Returns (rays_per_sec, dt_frame_seconds, rgb_frame[n_rays, 3]).
+    """
     import jax
-    # persistent compile cache: TPU compiles through the remote AOT helper
-    # run minutes; cache hits make repeat benchmarks (and driver re-runs
-    # within an image) near-instant
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/apnerf_jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-    _probe_backend()
     import jax.numpy as jnp
     from apnerf.models import temporal_points as tp
-
-    params, mcfg, state = build_model()
     H = W = 400
     CHUNK = int(os.environ.get("APNERF_BENCH_CHUNK", "8192"))
     focal = 555.0
@@ -195,12 +188,64 @@ def main():
     dt = (time.time() - t0) / n_iters
     rays_per_sec = n_rays / dt
 
+    rgbs = run_once()
+    if one_dispatch:
+        img = np.asarray(rgbs).reshape(-1, 3)[:n_rays]
+    else:
+        img = np.concatenate([np.asarray(r) for r, _ in rgbs], 0)[:n_rays]
+    return rays_per_sec, dt, img
+
+
+def main():
+    import jax
+    # persistent compile cache: TPU compiles through the remote AOT helper
+    # run minutes; cache hits make repeat benchmarks (and driver re-runs
+    # within an image) near-instant
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/apnerf_jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    _probe_backend()
+    H = W = 400
+    CHUNK = int(os.environ.get("APNERF_BENCH_CHUNK", "8192"))
+    n_rays = H * W
+    n_chunks = (n_rays + CHUNK - 1) // CHUNK
+
+    # Dual-mode reporting (VERDICT r3 #2): the shared-KNN mode (knn_share>1)
+    # is a lossy approximation the reference does not have, so its headline
+    # number is only honest next to the exact-KNN number and the PSNR
+    # between the two renders. The >=50 dB gate from the round-3 A/B
+    # (PERF.md share sweep) is asserted HERE, every bench run: if the shared
+    # render drifts below the gate, the headline falls back to exact.
+    PSNR_GATE_DB = 50.0
+    params, mcfg, state = build_model()
+    shared_mode = int(getattr(mcfg, "knn_share", 1)) > 1
+
+    shared_rps, dt, img_shared = measure_mode(params, mcfg, state)
+    if shared_mode:
+        os.environ["APNERF_KNN_SHARE"] = "1"
+        params_e, mcfg_e, state_e = build_model()
+        exact_rps, _, img_exact = measure_mode(params_e, mcfg_e, state_e)
+        mse = float(np.mean((img_shared - img_exact) ** 2))
+        psnr = float(-10.0 * np.log10(max(mse, 1e-12)))
+        gate_ok = psnr >= PSNR_GATE_DB
+    else:
+        exact_rps, psnr, gate_ok = shared_rps, float("inf"), True
+
+    headline = shared_rps if gate_ok else exact_rps
     print(json.dumps({
         "metric": "repose_render_rays_per_sec",
-        "value": round(rays_per_sec, 1),
+        "value": round(headline, 1),
         "unit": "rays/s/chip",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "roofline": roofline(mcfg, n_chunks=len(chunks), chunk=CHUNK,
+        "vs_baseline": round(headline / BASELINE_RAYS_PER_SEC, 3),
+        "exact_rays_per_sec": round(exact_rps, 1),
+        "shared_rays_per_sec": round(shared_rps, 1),
+        "shared_psnr_vs_exact": (round(psnr, 2) if np.isfinite(psnr)
+                                 else None),
+        "psnr_gate_db": PSNR_GATE_DB,
+        "psnr_gate_ok": gate_ok,
+        "roofline": roofline(mcfg, n_chunks=n_chunks, chunk=CHUNK,
                              dt_frame=dt),
     }))
 

@@ -16,6 +16,9 @@ from apnerf.config.config import load_config
 from apnerf.data.load_data import load_data
 from apnerf.data.synthetic import generate_scene
 
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
+
 
 @pytest.fixture(scope="module")
 def micro_setup(tmp_path_factory):

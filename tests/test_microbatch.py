@@ -18,6 +18,10 @@ from apnerf.train import stage1
 from apnerf.train.masked_adam import create_optimizer
 
 from test_parallel_zero1 import _tiny_setup
+import pytest
+
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
 
 
 def _run_steps(cfg_model, params, cfg_train, Ks, poses, batch, n_micro,

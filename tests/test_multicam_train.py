@@ -6,6 +6,9 @@ import pytest
 
 from apnerf.config.config import ConfigDict, _to_config
 
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
+
 
 def _multicam_data(n_cams=3, n_t=2, H=24, W=24, seed=0):
     rng = np.random.default_rng(seed)

@@ -10,6 +10,10 @@ import numpy as np
 
 from apnerf.models import tineuvox
 from apnerf.ops import compaction
+import pytest
+
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
 
 
 def _setup(fast_color_thres=0.0):

@@ -160,6 +160,7 @@ def test_mult_dist_interp_against_torch():
                                atol=1e-5)
 
 
+@pytest.mark.integration
 def test_baked_multiscale_matches_per_scale():
     """bake_multiscale + one trilinear interp must equal the per-scale
     mult_dist_interp (the TPU fast path relies on the exact nesting of

@@ -17,6 +17,9 @@ from apnerf.render.renderers import (make_backbone_renderer,
 from test_stage2 import _toy_model
 from test_renderers import _camera
 
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
+
 
 def _mesh8():
     devices = jax.devices("cpu")

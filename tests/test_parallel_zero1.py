@@ -18,6 +18,9 @@ from apnerf.parallel import mesh as pmesh
 from apnerf.train import stage1
 from apnerf.train.masked_adam import create_optimizer
 
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
+
 
 def _tiny_setup():
     # num_voxels 4500 (~16.5^3) -> world_size (16, 16, 16): the leading grid

@@ -13,6 +13,10 @@ import jax.numpy as jnp
 from apnerf.config.config import load_config
 from apnerf.data.load_data import load_data
 from apnerf.data.synthetic import generate_scene
+import pytest
+
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
 
 
 def test_pipeline_smoke(tmp_path):

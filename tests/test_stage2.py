@@ -8,6 +8,10 @@ from apnerf.models import point_warper as pw
 from apnerf.models import temporal_points as tp
 from apnerf.models import tineuvox
 import apnerf.ops.nn as onn
+import pytest
+
+# heavier CPU tier (VERDICT r3 #7): default `pytest -q` stays <3 min
+pytestmark = pytest.mark.integration
 
 
 def _toy_model(P=64, J=4, F=8, seed=0):
