@@ -93,6 +93,13 @@ class TemporalPointsConfig:
     # flag-gated for future kernel work; exactness-tested in interpret
     # mode either way.
     fused_agg: bool = False
+    # fused PE + feat_net + weighted-K-reduction Pallas kernel
+    # (kernels/featmlp_pallas.py): keeps the aggregation MLP's activations
+    # in VMEM (the XLA formulation is HBM-bound at 13% MXU, PERF.md).
+    # Unlike fused_agg it does no selection/ranking — just large GEMMs —
+    # and is used by BOTH the shared and exact aggregation paths when
+    # agg_bf16 is on. Forward-only (no VJP): training sets it False.
+    featmlp_kernel: bool = True
 
     @property
     def t_dim(self):
@@ -715,6 +722,49 @@ def compact_active(cfg: TemporalPointsConfig, pts, valid, bb_min, bb_max,
     return q, src, act_ok, group_expand
 
 
+def _featnet_h(cfg: TemporalPointsConfig, featnet_p, rel_canon, feat_k, w,
+               pose_embedding):
+    """Aggregated feature h = sum_k w[...,k] * feat_net(PE(rel_canon),
+    feat_k, pose) (reference lib/temporalpoints.py:472-494).
+
+    Dispatches to the fused Pallas kernel (kernels/featmlp_pallas.py) on
+    TPU when ``cfg.featmlp_kernel`` and the bf16 aggregation mode are
+    active; otherwise runs the XLA formulation. APNERF_FEATMLP: "0"
+    disables, "force" enables off-TPU (interpret mode, tests only).
+    """
+    K = rel_canon.shape[-2]
+    F = feat_k.shape[-1]
+    lead = rel_canon.shape[:-2]
+    layers = featnet_p["layers"]
+    from ..ops.knn import _tpu_default
+    env = os.environ.get("APNERF_FEATMLP", "1")
+    eligible = (cfg.featmlp_kernel and cfg.agg_bf16 and env != "0"
+                and (_tpu_default() or env == "force")
+                and "b" in layers[0]
+                and all(lp["w"].shape == (F, F) and "b" in lp
+                        for lp in layers[1:]))
+    if eligible:
+        from ..kernels.featmlp_pallas import featmlp_agg
+        h = featmlp_agg(
+            rel_canon.reshape(-1, K, 3).astype(jnp.float32),
+            feat_k.reshape(-1, K, F).astype(jnp.bfloat16),
+            w.reshape(-1, K).astype(jnp.float32),
+            featnet_p, K=K, pe_freqs=int(cfg.posbase_pe),
+            pose_embedding=pose_embedding)
+        return h.reshape(*lead, F)
+    rel_emb = encoding.poc_fre(rel_canon, encoding.poc_freqs(cfg.posbase_pe))
+    in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
+    feat_in = [rel_emb.astype(in_dt), feat_k.astype(in_dt)]
+    if pose_embedding is not None:
+        pe = jnp.broadcast_to(
+            pose_embedding.reshape((1,) * len(rel_emb.shape[:-1]) + (-1,)),
+            (*rel_emb.shape[:-1], pose_embedding.size))
+        feat_in.append(pe.astype(in_dt))
+    h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
+                 activation=nn.leaky_relu, final_activation=nn.leaky_relu)
+    return (h_k.astype(jnp.float32) * w[..., None]).sum(-2)
+
+
 def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
                                t_hat_pcd, inv_rot, viewdirs, q, src, act_ok,
                                R, B, M_full, M_act, query_radius, tables,
@@ -957,17 +1007,8 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
             rot_k = geo[..., 3:].reshape(geo.shape[0], kc, 3, 3)
             rel_canon = jnp.einsum("mkab,mskb->mska", rot_k, rel_p,
                                    precision=HIGH)
-        rel_emb = encoding.poc_fre(rel_canon,
-                                   encoding.poc_freqs(cfg.posbase_pe))
-        in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
-        feat_in = [rel_emb.astype(in_dt), feat_sel.astype(in_dt)]
-        if pose_embedding is not None:
-            pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, 1, -1),
-                                  (*rel_emb.shape[:3], pose_embedding.size))
-            feat_in.append(pe.astype(in_dt))
-        h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
-                     activation=nn.leaky_relu, final_activation=nn.leaky_relu)
-        h = (h_k.astype(jnp.float32) * w_sel[..., None]).sum(2)
+        h = _featnet_h(cfg, featnet_p, rel_canon, feat_sel, w_sel,
+                       pose_embedding)
         density = nn.mlp(params["densitynet"], h)[..., 0]
         alpha = raw2alpha(density, cfg.act_shift, interval)
         rgb = jax.nn.sigmoid(apply_rgbnet(
@@ -1246,17 +1287,8 @@ def aggregate_pts(params, cfg: TemporalPointsConfig, state, t_hat_pcd,
         w = w / w.sum(-1, keepdims=True)
         rot_k = geo[..., 3:].reshape(*geo.shape[:2], 3, 3)
         rel_canon = jnp.einsum("mkab,mkb->mka", rot_k, rel_p, precision=HIGH)
-        rel_emb = encoding.poc_fre(rel_canon,
-                                   encoding.poc_freqs(cfg.posbase_pe))
-        in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
-        feat_in = [rel_emb.astype(in_dt), feat_k]
-        if pose_embedding is not None:
-            pe = jnp.broadcast_to(pose_embedding.reshape(1, 1, -1),
-                                  (*rel_emb.shape[:2], pose_embedding.size))
-            feat_in.append(pe.astype(in_dt))
-        h_k = nn.mlp(featnet_p, jnp.concatenate(feat_in, -1),
-                     activation=nn.leaky_relu, final_activation=nn.leaky_relu)
-        h = (h_k.astype(jnp.float32) * w[..., None]).sum(1)  # [blk, F] fp32
+        h = _featnet_h(cfg, featnet_p, rel_canon, feat_k, w,
+                       pose_embedding)                     # [blk, F] fp32
         density = nn.mlp(params["densitynet"], h)[..., 0]
         alpha = raw2alpha(density, cfg.act_shift, interval)
         rgb = jax.nn.sigmoid(apply_rgbnet(

@@ -85,11 +85,11 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         group_pass_fraction=group_pass_fraction,
         knn_share=knn_share, knn_cand=knn_cand,
         occ_res=occ_res, occ_dilations=occ_dilations,
-        # the fused Pallas aggregation kernel is forward-only (no VJP);
+        # the fused Pallas aggregation kernels are forward-only (no VJP);
         # training differentiates through the XLA formulation. The CLI
-        # re-enables it at render time (render-perf knobs follow the
+        # re-enables them at render time (render-perf knobs follow the
         # config, cli.py).
-        fused_agg=False)
+        fused_agg=False, featmlp_kernel=False)
 
     key = jax.random.PRNGKey(seed)
     params = tp.init_params(key, mcfg, pcd, joints, bones,

@@ -157,3 +157,62 @@ def test_scatter_kernel_interpret_matches_numpy():
     ref = np.zeros((n_rows, C), np.float32)
     np.add.at(ref, idx, upd)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_featmlp_interpret_matches_xla():
+    """featmlp_agg (PE + MLP + weighted K-reduce) vs the XLA bf16
+    formulation, incl. pose-embedding bias folding and row padding."""
+    import jax
+    from apnerf.ops import nn, encoding
+    from apnerf.kernels.featmlp_pallas import featmlp_agg
+
+    rng = np.random.default_rng(0)
+    M, K, F, pb, pd = 193, 8, 128, 10, 32   # M not a multiple of any block
+    P = 3 * (1 + 2 * pb)
+    rel = jnp.asarray(rng.normal(size=(M, K, 3)).astype(np.float32) * 0.1)
+    feat = jnp.asarray(
+        rng.normal(size=(M, K, F)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.random((M, K)).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(pd,)).astype(np.float32) * 0.1)
+    fp = nn.init_mlp(jax.random.PRNGKey(0), [P + F + pd, F, F, F, F])
+    fp_bf = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), fp)
+
+    emb = encoding.poc_fre(rel, encoding.poc_freqs(pb))
+    fi = jnp.concatenate(
+        [emb.astype(jnp.bfloat16), feat,
+         jnp.broadcast_to(pe.astype(jnp.bfloat16), (M, K, pd))], -1)
+    h_ref = (nn.mlp(fp_bf, fi, activation=nn.leaky_relu,
+                    final_activation=nn.leaky_relu).astype(jnp.float32)
+             * w[..., None]).sum(1)
+    h = featmlp_agg(rel, feat, w, fp_bf, K=K, pe_freqs=pb,
+                    pose_embedding=pe, interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-2, atol=5e-3)
+
+
+def test_featmlp_interpret_no_pose_small_depth():
+    """feat_depth=2 and no pose embedding (layer-count generality)."""
+    import jax
+    from apnerf.ops import nn, encoding
+    from apnerf.kernels.featmlp_pallas import featmlp_agg
+
+    rng = np.random.default_rng(1)
+    M, K, F, pb = 64, 4, 32, 4
+    P = 3 * (1 + 2 * pb)
+    rel = jnp.asarray(rng.normal(size=(M, K, 3)).astype(np.float32) * 0.2)
+    feat = jnp.asarray(
+        rng.normal(size=(M, K, F)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.random((M, K)).astype(np.float32))
+    fp = nn.init_mlp(jax.random.PRNGKey(3), [P + F, F, F])
+    fp_bf = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), fp)
+
+    emb = encoding.poc_fre(rel, encoding.poc_freqs(pb))
+    fi = jnp.concatenate([emb.astype(jnp.bfloat16), feat], -1)
+    h_ref = (nn.mlp(fp_bf, fi, activation=nn.leaky_relu,
+                    final_activation=nn.leaky_relu).astype(jnp.float32)
+             * w[..., None]).sum(1)
+    h = featmlp_agg(rel, feat, w, fp_bf, K=K, pe_freqs=pb,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-2, atol=5e-3)

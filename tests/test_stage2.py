@@ -531,3 +531,36 @@ def test_knn_share_small_candidates_close_and_trainable():
     gsum = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_featmlp_kernel_full_forward_matches_xla_shared(monkeypatch):
+    """End-to-end forward with the fused PE+feat_net+reduce kernel (forced
+    into interpret mode off-TPU) vs the XLA shared-KNN path."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    mcfg_s = dataclasses.replace(mcfg, knn_share=4, knn_cand=10)
+    monkeypatch.setenv("APNERF_FEATMLP", "0")
+    base = _fwd(params, mcfg_s, state)
+    monkeypatch.setenv("APNERF_FEATMLP", "force")
+    fused = _fwd(params, mcfg_s, state)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        if key not in base:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(base[key]),
+            rtol=2e-2, atol=2e-2, err_msg=key)
+
+
+def test_featmlp_kernel_full_forward_matches_xla_exact(monkeypatch):
+    """Same through the exact per-sample KNN path (knn_share=1)."""
+    params, mcfg, state, *_ = _toy_model()
+    monkeypatch.setenv("APNERF_FEATMLP", "0")
+    base = _fwd(params, mcfg, state)
+    monkeypatch.setenv("APNERF_FEATMLP", "force")
+    fused = _fwd(params, mcfg, state)
+    for key in ("rgb_marched", "alphainv_last", "depth"):
+        if key not in base:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(base[key]),
+            rtol=2e-2, atol=2e-2, err_msg=key)
