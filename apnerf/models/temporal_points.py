@@ -129,6 +129,8 @@ def _reinit_linear_tree(key, tree):
     def collect(t):
         if isinstance(t, dict):
             if "w" in t:
+                assert set(t) <= {"w", "b"}, (
+                    f"re_init_mlps: unexpected layer schema {sorted(t)}")
                 leaves_w.append(t)
             else:
                 for v in t.values():
@@ -136,6 +138,13 @@ def _reinit_linear_tree(key, tree):
         elif isinstance(t, (list, tuple)):
             for v in t:
                 collect(v)
+        else:
+            # array leaf outside a {w, b} layer: a head with a different
+            # schema would otherwise be SILENTLY not re-initialised
+            raise ValueError(
+                "re_init_mlps: array leaf outside a linear layer "
+                f"(shape {getattr(t, 'shape', '?')}); extend "
+                "_reinit_linear_tree for this head schema")
 
     import copy
     tree = copy.deepcopy(jax.tree_util.tree_map(lambda x: x, tree))
@@ -750,7 +759,8 @@ def _featnet_h(cfg: TemporalPointsConfig, featnet_p, rel_canon, feat_k, w,
             feat_k.reshape(-1, K, F).astype(jnp.bfloat16),
             w.reshape(-1, K).astype(jnp.float32),
             featnet_p, K=K, pe_freqs=int(cfg.posbase_pe),
-            pose_embedding=pose_embedding)
+            pose_embedding=pose_embedding,
+            block_rows=int(os.environ.get("APNERF_FEATMLP_ROWS", "2048")))
         return h.reshape(*lead, F)
     rel_emb = encoding.poc_fre(rel_canon, encoding.poc_freqs(cfg.posbase_pe))
     in_dt = jnp.bfloat16 if cfg.agg_bf16 else jnp.float32
