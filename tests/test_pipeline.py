@@ -39,8 +39,9 @@ def test_full_pipeline(tiny_setup, tmp_path):
     cfg, data = tiny_setup
     params, mcfg, stats = stage1.scene_rep_reconstruction(
         cfg, data, n_iters=120, log_every=60)
-    # learns something: last-interval PSNR clearly above random init (~11dB)
-    assert stats["psnr"][-1] > 16, stats["psnr"]
+    # regression gate at measured-minus-1dB (PSNR_TRAIL.jsonl: 24.58 across
+    # rounds 2-3; deterministic seeded run) so drift fails, not just breakage
+    assert stats["psnr"][-1] > 23.5, stats["psnr"]
 
     art = export_point_cloud(
         params, mcfg, str(tmp_path), cfg.data.canonical_t,
@@ -62,8 +63,8 @@ def test_full_pipeline(tiny_setup, tmp_path):
     # clearly above background-only rendering (~11 dB on this scene). This
     # is the guard against perf approximations (coarse occupancy testing,
     # bf16 aggregation, quantized KNN keys) silently bleeding quality while
-    # losses stay finite.
-    assert stats2["psnr"][-1] > 14, stats2["psnr"]
+    # losses stay finite. Gate at measured-minus-1dB (trail: 22.77).
+    assert stats2["psnr"][-1] > 21.7, stats2["psnr"]
     import glob
     # comparison panel GIFs written at i_save (reference run.py:772-811)
     assert glob.glob(tb_dir + "/comparison_*.mp4") \
@@ -95,7 +96,8 @@ def test_full_pipeline(tiny_setup, tmp_path):
     if gt.max() > 1.5:
         gt = gt / 255.0
     canon_psnr = metrics.psnr(pred, gt[..., :3])
-    assert canon_psnr > 14, f"canonical re-render PSNR {canon_psnr:.2f}"
+    # measured-minus-1dB (trail: 21.78)
+    assert canon_psnr > 20.7, f"canonical re-render PSNR {canon_psnr:.2f}"
 
     # mechanical PSNR-trail record (VERDICT r2 #3): append this run's
     # numbers so each round's quality sits next to its perf numbers
