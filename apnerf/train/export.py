@@ -67,6 +67,22 @@ def export_point_cloud(params, model_cfg: tineuvox.TiNeuVoxConfig, out_dir,
             skeleton = pickle.load(f)
         return {"canonical": canonical, "skeleton": skeleton}
 
+    # reference-produced artifacts (torch.save zips, reference
+    # run.py:1196-1240) seed stage-2 directly — same key schema, loaded
+    # without torch (utils/torch_load) for cross-framework A/B
+    can_tar = os.path.join(pcd_dir, "canonical.tar")
+    skel_tar = os.path.join(pcd_dir, "skeleton.tar")
+    if (os.path.exists(can_tar) and os.path.exists(skel_tar)
+            and not overwrite):
+        from ..utils.torch_load import torch_load
+        canonical = torch_load(can_tar)
+        skeleton = torch_load(skel_tar)
+        skeleton["bones"] = [list(map(int, b)) for b in skeleton["bones"]]
+        print("export: loaded reference torch artifacts "
+              f"({len(canonical['pcd'])} points, "
+              f"{len(skeleton['bones'])} bones)")
+        return {"canonical": canonical, "skeleton": skeleton}
+
     def volume_at(freq):
         grid_xyz = tineuvox.grid_xyz_coords(model_cfg, freq)
         alpha = tineuvox.eval_alpha_volume(params, model_cfg, grid_xyz,
