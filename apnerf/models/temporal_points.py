@@ -17,6 +17,7 @@ Functional re-implementation of the reference ``TemporalPoints``
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -1385,12 +1386,50 @@ def project_points(points, c2w, K):
     return pix[:, :2] / pix[:, 2:]
 
 
+def _inv3x3(m):
+    """Closed-form (adjugate/det) batched 3x3 inverse, fp32 VPU-friendly.
+
+    One Newton-Schulz refinement step (X <- X(2I - MX)) squares the
+    adjugate's relative error, which otherwise grows with cond(M)^2 on
+    ill-conditioned LBS blends (opposing rotations with ~equal weights).
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv = jnp.stack([jnp.stack([A, B, C], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, I], -1)], -2)
+    x = inv / det[..., None, None]
+    eye2 = 2.0 * jnp.eye(3, dtype=m.dtype)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(x, eye2 - mm(m, x))
+
+
 def prepare_frame(params, cfg: TemporalPointsConfig, state, t=None,
                   rot_params=None, query_radius=0.01, calc_min_max=True):
     """Per-frame state (warp + inverse frames + pose embedding + occupancy)
     shared by all ray chunks of one render."""
     wout = warp(params, cfg, state, t=t, rot_params=rot_params)
-    wout["inv_rot"] = jnp.linalg.inv(wout["frames"])[:, :3, :3]
+    # inv(frames)[:, :3, :3] == inv(R) for the affine [[R, t], [0, 1]]
+    # frames point_warper builds; a closed-form 3x3 adjugate inverse (or a
+    # plain transpose when procrustes has orthonormalised R) replaces the
+    # batched 4x4 LU jnp.linalg.inv, which lowers to scalar-heavy loops on
+    # TPU (prepare_frame is per-frame serving cost).
+    R = wout["frames"][:, :3, :3]
+    if cfg.avg_procrustes:
+        wout["inv_rot"] = jnp.swapaxes(R, -1, -2)
+    else:
+        wout["inv_rot"] = _inv3x3(R)
     if cfg.pose_embedding_dim > 0:
         delta = jax.lax.stop_gradient(params["joints"] - wout["joints_rel"])
         emb = encoding.poc_fre(delta, encoding.poc_freqs(cfg.posbase_pe))

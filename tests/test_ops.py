@@ -377,3 +377,36 @@ def test_knn_fallback_honours_sorted_point_idx():
     full = ((q[:, None, :] - p[None]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(d2), np.sort(full, 1)[:, :k],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_inv3x3_matches_lu_on_ill_conditioned_blends():
+    """Closed-form adjugate + one Newton step (prepare_frame's inverse of
+    LBS-blended rotation frames) must match float64 inverse at least as
+    well as fp32 LU, including near-singular opposing-rotation blends."""
+    from apnerf.models.temporal_points import _inv3x3
+
+    rng = np.random.default_rng(0)
+
+    def rot(axis, ang):
+        axis = axis / np.linalg.norm(axis)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+
+    ms = []
+    for i in range(512):
+        r1 = rot(rng.normal(size=3), rng.uniform(0, np.pi))
+        r2 = rot(rng.normal(size=3), rng.uniform(0, np.pi))
+        w = 0.5 + rng.normal() * 0.01 if i % 4 == 0 else rng.uniform(0.01, 0.99)
+        ms.append(w * r1 + (1 - w) * r2)
+    # hardest case: ~equal blend of a 180-degree rotation with identity
+    ms.append(0.5001 * rot(np.array([1.0, 0, 0]), np.pi) + 0.4999 * np.eye(3))
+    m = np.stack(ms).astype(np.float32)
+
+    ref = np.linalg.inv(m.astype(np.float64))
+    got = np.asarray(_inv3x3(jnp.asarray(m)))
+
+    relerr = np.abs(got - ref) / (np.abs(ref) + 1e-6)
+    assert relerr.max() < 1e-3, relerr.max()
+    assert relerr.mean() < 1e-6, relerr.mean()
