@@ -50,7 +50,7 @@ def build_model(P=10_000, J=24, F=128):
         # 500k rays/s at 52.8 dB PSNR vs the exact-KNN render (gate:
         # >= 50 dB, PERF.md round-3 share sweep); env knobs for A/B
         knn_share=int(os.environ.get("APNERF_KNN_SHARE", "16")),
-        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "12")),
+        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "10")),
         coarse_stride=int(os.environ.get("APNERF_COARSE_STRIDE", "32")))
 
     k = jax.random.PRNGKey(0)
