@@ -52,6 +52,10 @@ def config_parser():
     p.add_argument("--skip_load_images", action="store_true")
     p.add_argument("--i_print", type=int, default=1000)
     p.add_argument("--i_save", type=int, default=5000)
+    # mid-stage checkpoint cadence; 0 = follow --i_save. Decoupled so a
+    # crash-resumable run can checkpoint often without paying the
+    # stage-2 tensorboard render that --i_save also drives.
+    p.add_argument("--ckpt_every", type=int, default=0)
     p.add_argument("--fre_test", type=int, default=500000)
     p.add_argument("--basedir_append_suffix", type=str, default="")
     p.add_argument("--step_to_half", type=int, default=100000)
@@ -116,7 +120,7 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
                 cfg, data_dict, seed=args.seed, log_every=args.i_print,
                 step_to_half=args.step_to_half,
                 ckpt_path=os.path.join(save_path, "fine_progress.pkl"),
-                ckpt_every=args.i_save, mesh=mesh)
+                ckpt_every=args.ckpt_every or args.i_save, mesh=mesh)
             ckpt.save_checkpoint(ck1, mcfg.get_kwargs(), params)
 
     if 2 in stages:
@@ -152,7 +156,7 @@ def train(args, cfg, save_path, data_dict, stages=(1, 2)):
             scene_bbox, seed=args.seed, log_every=args.i_print,
             tensorboard_path=tb_path, i_save=args.i_save,
             ckpt_path=os.path.join(save_path, "temporalpoints_progress.pkl"),
-            ckpt_every=args.i_save, mesh=mesh)
+            ckpt_every=args.ckpt_every or args.i_save, mesh=mesh)
         save_temporalpoints(os.path.join(save_path, "temporalpoints_last.pkl"),
                             p2, m2, st2, art, mcfg)
 

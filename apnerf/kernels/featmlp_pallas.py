@@ -74,6 +74,51 @@ def _kernel(n_layers, K, rel_ref, feat_ref, w_ref, smat_ref, phase_ref,
     out_ref[...] = hw.reshape(rows // K, K, F).sum(axis=1)
 
 
+def _xla_reference(rel_canon, feat_sel, w_sel, featnet_p, pose_embedding,
+                   pe_freqs):
+    """The XLA bf16 formulation of the same aggregation (the featmlp_kernel-
+    ineligible branch of models/temporal_points._featnet_h) — used as the
+    backward rule: differentiating the Pallas kernel itself is unsupported,
+    and recomputing here doubles as rematerialisation (no [M*K, F] layer
+    activations are saved across the forward)."""
+    from ..ops import encoding, nn
+    rel_emb = encoding.poc_fre(rel_canon, encoding.poc_freqs(pe_freqs))
+    ins = [rel_emb.astype(jnp.bfloat16), feat_sel.astype(jnp.bfloat16)]
+    if pose_embedding is not None:
+        pe = jnp.broadcast_to(
+            pose_embedding.reshape((1,) * len(rel_emb.shape[:-1]) + (-1,)),
+            (*rel_emb.shape[:-1], pose_embedding.size))
+        ins.append(pe.astype(jnp.bfloat16))
+    h_k = nn.mlp(featnet_p, jnp.concatenate(ins, -1),
+                 activation=nn.leaky_relu, final_activation=nn.leaky_relu)
+    return (h_k.astype(jnp.float32) * w_sel[..., None]).sum(-2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _featmlp(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel, w_sel,
+             featnet_p, pose_embedding):
+    return _run_kernel(K, pe_freqs, block_rows, interpret, rel_canon,
+                       feat_sel, w_sel, featnet_p, pose_embedding)
+
+
+def _featmlp_fwd(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel,
+                 w_sel, featnet_p, pose_embedding):
+    out = _run_kernel(K, pe_freqs, block_rows, interpret, rel_canon,
+                      feat_sel, w_sel, featnet_p, pose_embedding)
+    return out, (rel_canon, feat_sel, w_sel, featnet_p, pose_embedding)
+
+
+def _featmlp_bwd(K, pe_freqs, block_rows, interpret, res, g):
+    rel_canon, feat_sel, w_sel, featnet_p, pose_embedding = res
+    _, vjp = jax.vjp(
+        lambda r, f, w, p, pe: _xla_reference(r, f, w, p, pe, pe_freqs),
+        rel_canon, feat_sel, w_sel, featnet_p, pose_embedding)
+    return vjp(g.astype(jnp.float32))
+
+
+_featmlp.defvjp(_featmlp_fwd, _featmlp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("K", "pe_freqs", "block_rows",
                                              "interpret"))
 def featmlp_agg(rel_canon, feat_sel, w_sel, featnet_p, *, K: int,
@@ -86,7 +131,17 @@ def featmlp_agg(rel_canon, feat_sel, w_sel, featnet_p, *, K: int,
     rel_canon [M, K, 3] f32; feat_sel [M, K, F] bf16; w_sel [M, K] f32;
     featnet_p: nn.mlp params (first layer [3*(1+2*pe_freqs)+F(+pd), F]).
     Returns h [M, F] f32.
+
+    Differentiable: forward runs the fused kernel; the VJP recomputes
+    through the XLA formulation (bf16-equivalent numerics, remat-style —
+    only the inputs are saved).
     """
+    return _featmlp(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel,
+                    w_sel, featnet_p, pose_embedding)
+
+
+def _run_kernel(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel,
+                w_sel, featnet_p, pose_embedding):
     M, Kk, _ = rel_canon.shape
     assert Kk == K
     F = feat_sel.shape[-1]

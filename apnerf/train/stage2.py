@@ -85,11 +85,15 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         group_pass_fraction=group_pass_fraction,
         knn_share=knn_share, knn_cand=knn_cand,
         occ_res=occ_res, occ_dilations=occ_dilations,
-        # the fused Pallas aggregation kernels are forward-only (no VJP);
-        # training differentiates through the XLA formulation. The CLI
-        # re-enables them at render time (render-perf knobs follow the
-        # config, cli.py).
-        fused_agg=False, featmlp_kernel=False)
+        # fused_agg (kernels/agg_pallas.py) is forward-only (no VJP), so it
+        # stays off in training. featmlp (kernels/featmlp_pallas.py) HAS a
+        # custom VJP (forward kernel + XLA-recompute backward, remat-style)
+        # and can be opted in for training via the scene config; default
+        # off until the fwd-speed-vs-recompute trade is measured on-chip.
+        # The CLI re-enables both at render time (render-perf knobs follow
+        # the config, cli.py).
+        fused_agg=False,
+        featmlp_kernel=bool(cfg_model.get("featmlp_train", False)))
 
     key = jax.random.PRNGKey(seed)
     params = tp.init_params(key, mcfg, pcd, joints, bones,

@@ -216,3 +216,44 @@ def test_featmlp_interpret_no_pose_small_depth():
                     interpret=True)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
                                rtol=2e-2, atol=5e-3)
+
+
+def test_featmlp_grad_matches_xla_reference():
+    """featmlp_agg is differentiable: the custom VJP routes the backward
+    through the XLA bf16 formulation, so grads of a loss through the
+    kernel must match grads of the same loss through the XLA path (both
+    sides differentiate the identical _xla_reference expression; fwd
+    values differ only by bf16 rounding order and do not enter a
+    sum-loss cotangent)."""
+    import jax
+    from apnerf.ops import nn
+    from apnerf.kernels.featmlp_pallas import featmlp_agg, _xla_reference
+
+    rng = np.random.default_rng(7)
+    M, K, F, pb, pd = 96, 8, 32, 5, 8
+    P = 3 * (1 + 2 * pb)
+    rel = jnp.asarray(rng.normal(size=(M, K, 3)).astype(np.float32) * 0.1)
+    feat = jnp.asarray(
+        rng.normal(size=(M, K, F)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.random((M, K)).astype(np.float32))
+    pe = jnp.asarray(rng.normal(size=(pd,)).astype(np.float32) * 0.1)
+    fp = nn.init_mlp(jax.random.PRNGKey(0), [P + F + pd, F, F, F])
+    fp_bf = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), fp)
+    cot = jnp.asarray(rng.normal(size=(M, F)).astype(np.float32))
+
+    def loss_k(p, rel, feat, w, pe):
+        h = featmlp_agg(rel, feat, w, p, K=K, pe_freqs=pb,
+                        pose_embedding=pe, interpret=True)
+        return (h * cot).sum()
+
+    def loss_x(p, rel, feat, w, pe):
+        return (_xla_reference(rel, feat, w, p, pe, pb) * cot).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(fp_bf, rel, feat, w, pe)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(fp_bf, rel, feat, w, pe)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gx)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1e-3, float(np.abs(b).max()))
+        np.testing.assert_allclose(a / scale, b / scale, atol=1.5e-2)
