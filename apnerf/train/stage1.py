@@ -336,23 +336,30 @@ def scene_rep_reconstruction(cfg, data_dict, seed=0, n_iters=None,
         if occupancy_active:
             n_s = model_cfg.max_steps(stepsize)
             demanded = int(n_rand // n_micro * n_s * occ_frac)
-            # round DOWN to a multiple of 2^17: the TPU compiler's regalloc
-            # RET_CHECKs on some non-power-of-two budget shapes at 160^3
-            # scale (569344 crashes, 524288 compiles); coarse rounding
-            # keeps the shapes in the observed-safe family
-            budget = max(4096, demanded // 131072 * 131072 or
-                         demanded // 1024 * 1024)
-            # budget audit (mirrors stage-2's): the rounding must never
-            # silently shrink the active-sample budget on a new scene
-            trunc = budget < demanded
+            # power-of-two budgets ONLY, rounded UP. libtpu faults on some
+            # non-pow2 active-sample shapes at 160^3 scale: 569344 RET_CHECKs
+            # at compile time, and 393216 (= 3*2^17, produced by the old
+            # round-DOWN-to-2^17-multiples rule) crashed the TPU worker
+            # mid-run in the round-4 train-clock (surfacing UNAVAILABLE at
+            # the next pg_scale dispatch). Every pow2 member up to 2^19 is
+            # compile-sweep green, and budgets above 2^19 are lax.scan-
+            # chunked into 2^19-shaped programs (models/tineuvox.py), so
+            # above 2^19 a chunk-multiple suffices. Rounding UP also ends
+            # the silent sample truncation the audit used to warn about —
+            # the padding rows are masked, costing at most <2x active-path
+            # compute right above a pow2 boundary.
+            chunk = 1 << 19
+            if demanded > chunk:
+                budget = -(-demanded // chunk) * chunk
+            else:
+                budget = max(4096, 1 << max(demanded - 1, 1).bit_length())
             print(f"stage1: budget audit — active budget {budget} of "
                   f"{demanded} demanded "
                   f"({n_rand // n_micro} rays x {n_s} steps x "
                   f"{occ_frac:g} active_fraction"
                   + (f", per microbatch x{n_micro})" if n_micro > 1 else ")")
-                  + (f" — TRUNCATING {demanded - budget} samples "
-                     f"({100 * (1 - budget / demanded):.1f}%); raise "
-                     f"active_fraction to compensate" if trunc else " — ok"))
+                  + f" — padding {budget - demanded} "
+                  f"({100 * (budget / max(demanded, 1) - 1):.1f}% over)")
         step = make_train_step(model_cfg, cfg_train, optimizer, Ks_dev,
                                poses_dev, H, W, data_dict["near"],
                                data_dict["far"], bg,
