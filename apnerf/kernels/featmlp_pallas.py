@@ -39,6 +39,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Incremented each time the kernel wrapper is (re)traced — lets callers
+# (dryrun_multichip, tests) assert the Pallas path actually engaged instead
+# of silently falling back to the XLA formulation.
+TRACE_COUNT = 0
+
+
 def _interpret_mode() -> bool:
     from ..ops.knn import _tpu_default
     return not _tpu_default()
@@ -142,6 +148,8 @@ def featmlp_agg(rel_canon, feat_sel, w_sel, featnet_p, *, K: int,
 
 def _run_kernel(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel,
                 w_sel, featnet_p, pose_embedding):
+    global TRACE_COUNT
+    TRACE_COUNT += 1
     M, Kk, _ = rel_canon.shape
     assert Kk == K
     F = feat_sel.shape[-1]
@@ -179,7 +187,8 @@ def _run_kernel(K, pe_freqs, block_rows, interpret, rel_canon, feat_sel,
 
     rows = M * K
     blk = min(block_rows, rows)
-    blk -= blk % K
+    # clamp: block_rows (APNERF_FEATMLP_ROWS) below K would round to 0
+    blk = max(K, blk - blk % K)
     pad = (-rows) % blk
     rel = rel_canon.reshape(rows, 3).astype(jnp.float32)
     feat = feat_sel.reshape(rows, F).astype(jnp.bfloat16)

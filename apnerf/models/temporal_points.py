@@ -99,7 +99,9 @@ class TemporalPointsConfig:
     # in VMEM (the XLA formulation is HBM-bound at 13% MXU, PERF.md).
     # Unlike fused_agg it does no selection/ranking — just large GEMMs —
     # and is used by BOTH the shared and exact aggregation paths when
-    # agg_bf16 is on. Forward-only (no VJP): training sets it False.
+    # agg_bf16 is on. Has a custom VJP (forward Pallas kernel + XLA
+    # recompute backward, remat-style); training uses it only when the
+    # stage-2 config opts in via featmlp_train (train/stage2.py).
     featmlp_kernel: bool = True
 
     @property
@@ -750,6 +752,7 @@ def _featnet_h(cfg: TemporalPointsConfig, featnet_p, rel_canon, feat_k, w,
     env = os.environ.get("APNERF_FEATMLP", "1")
     eligible = (cfg.featmlp_kernel and cfg.agg_bf16 and env != "0"
                 and (_tpu_default() or env == "force")
+                and len(layers) >= 2      # kernel stacks hidden layers
                 and "b" in layers[0]
                 and all(lp["w"].shape == (F, F) and "b" in lp
                         for lp in layers[1:]))

@@ -222,6 +222,13 @@ def _active_chunks(A: int) -> int:
     import os
     max_single = int(os.environ.get("APNERF_MAX_SINGLE_BUDGET",
                                     _MAX_SINGLE_BUDGET))
+    if A > max_single and A % max_single == 0:
+        # exact multiples chunk to EXACTLY max_single (a swept-green pow2
+        # shape). The old pow2-count-only split turned 3*2^19 into
+        # 3*2^17-shaped chunks — the very non-pow2 member family that
+        # crashed the TPU worker in the round-4 train-clock
+        # (TRAIN_CLOCK.md, ADVICE r4 medium).
+        return min(A // max_single, 1024)
     k = 1
     while A // k > max_single and k < 1024:
         k *= 2

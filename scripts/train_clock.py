@@ -146,8 +146,11 @@ pcd_train_config = dict(N_iters={S2_ITERS}, full_t_iter={S2_ITERS // 2}{nrand2})
 """)
 
     t1 = time.time()
+    # ckpt_every default 100: BELOW the first pg_scale step so a crash there
+    # can never starve the resume loop again (VERDICT r4 #1)
+    ck = os.environ.get("APNERF_CLOCK_CKPT_EVERY", "100")
     cli.main(["--config", cfg_file, "--i_print", "500", "--i_save", "100000",
-              "--ckpt_every", "500"])
+              "--ckpt_every", ck])
     print(f"[clock] train (both stages) alive {time.time() - t1:.0f}s",
           flush=True)
     if not st.get("train_done"):
@@ -191,9 +194,9 @@ full config-family scale (160^3 voxels x 12ch, pg_scale {pg}, 10^4 points,
 4096/8192 rays). Driven through `python -m apnerf.cli` exactly as the
 reference commands are (/root/reference/README.md:82-104). The axon tunnel
 drops every few minutes to ~1.5 h, so the run used the crash-resume path
-({restarts} restarts; mid-stage checkpoints every 500 steps, persistent XLA
+({restarts} restarts; mid-stage checkpoints every {ck} steps, persistent XLA
 compile cache) — the productive wall below sums the alive segments, which
-double-counts at most ~500 redone steps per restart.
+double-counts at most ~{ck} redone steps per restart.
 
 | phase | measured |
 |---|---|
