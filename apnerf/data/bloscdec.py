@@ -26,6 +26,15 @@ demand like the skeletonizer); a pure-python mirror backs tests and
 g++-less environments. Codec 3 (zlib) uses the stdlib. ``pack_array`` here
 exists to build round-trip fixtures and write caches without blosc — its
 encoder is greedy but emits fully valid frames.
+
+VALIDATION CAVEAT: all current tests are grammar-level token streams plus
+round-trips through this module's own encoder — no byte fixture produced by
+the real c-blosc library exists in this environment (the ``blosc`` package
+is absent and there is no egress). A shared misunderstanding of the frame
+format would therefore pass CI and only surface on a real WIM-exported ZJU
+cache. When any real blosc binary or cache is ever available, the FIRST
+thing to add is a hard-coded ``blosc.pack_array`` byte fixture in
+tests/test_bloscdec.py asserting bit-exact decode.
 """
 from __future__ import annotations
 
@@ -187,7 +196,11 @@ def decompress(frame: bytes, force_python: bool = False) -> bytes:
     if flags & 0x02:  # pure memcpy
         return bytes(frame[16:16 + nbytes])
     if flags & 0x04:
-        raise NotImplementedError("blosc bitshuffle filter not supported")
+        raise NotImplementedError(
+            "blosc bitshuffle filter not supported by "
+            "apnerf/data/bloscdec.py — the WIM ZJU caches use byte shuffle "
+            "(blosc.pack_array default); re-export the cache without "
+            "bitshuffle or extend _decode_chunk here")
     codec = (flags >> 5) & 0x7
     if codec not in (0, 3):
         raise NotImplementedError(
