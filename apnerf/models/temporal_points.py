@@ -972,16 +972,26 @@ def _aggregate_subgroup_shared(params, cfg: TemporalPointsConfig, state,
         rel_p = qb[:, :, None, :] - nbr[:, None, :, :]   # [blk, share, k', 3]
         to_nn = (rel_p ** 2).sum(-1)                 # [blk, share, k']
         to_nn = jnp.where(cvb[:, None, :], to_nn, jnp.inf)
-        # exact per-sample top-K-of-k' via a rank mask (ties broken by
-        # candidate position — a deterministic total order, so exactly K
-        # candidates are selected whenever >= K are valid)
-        less = (to_nn[..., :, None] > to_nn[..., None, :]) | (
-            (to_nn[..., :, None] == to_nn[..., None, :])
-            & (cand_ar[:, None] > cand_ar[None, :]))
-        rank = less.sum(-1)                          # [blk, share, k']
-        top = rank < K
-        kd2 = jnp.max(jnp.where(top, to_nn, -jnp.inf), axis=-1)
-        w = jnp.where(top, 1.0 / (to_nn + cfg.eps), 0.0)
+        if kc == K:
+            # every candidate is a selected neighbour: the rank mask below
+            # reduces to all-true (invalid slots carry to_nn = inf, so their
+            # weight underflows to 0 and kd2 = inf rejects samples with
+            # < K valid candidates — identical semantics, minus the
+            # O(k'^2) rank computation)
+            top = jnp.ones_like(to_nn, bool)
+            kd2 = to_nn.max(-1)
+            w = jnp.where(jnp.isfinite(to_nn), 1.0 / (to_nn + cfg.eps), 0.0)
+        else:
+            # exact per-sample top-K-of-k' via a rank mask (ties broken by
+            # candidate position — a deterministic total order, so exactly K
+            # candidates are selected whenever >= K are valid)
+            less = (to_nn[..., :, None] > to_nn[..., None, :]) | (
+                (to_nn[..., :, None] == to_nn[..., None, :])
+                & (cand_ar[:, None] > cand_ar[None, :]))
+            rank = less.sum(-1)                      # [blk, share, k']
+            top = rank < K
+            kd2 = jnp.max(jnp.where(top, to_nn, -jnp.inf), axis=-1)
+            w = jnp.where(top, 1.0 / (to_nn + cfg.eps), 0.0)
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-30)
         if kc > K:
             # compact the k' candidates to the per-member top-K BEFORE the

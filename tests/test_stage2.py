@@ -455,6 +455,49 @@ def test_knn_share_full_candidates_matches_exact():
             rtol=2e-4, atol=2e-4, err_msg=key)
 
 
+def test_knn_share_cand_equals_k_fast_path():
+    """knn_cand == neighbours takes the rank-free fast path (every candidate
+    is a selected neighbour). With K = n_points the candidate set is the
+    whole cloud for rep and members alike, so the fast path must reproduce
+    the exact per-sample path up to fp summation order; invalid-slot
+    semantics (weight underflow + kd2 = inf) are covered by the same
+    comparison wherever a rep has < K in-radius candidates."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model(P=8)
+    mcfg_e = dataclasses.replace(mcfg, neighbours=8)
+    base = _fwd(params, mcfg_e, state)
+    mcfg_s = dataclasses.replace(mcfg, neighbours=8, knn_share=4, knn_cand=8)
+    shared = _fwd(params, mcfg_s, state)
+    for key in ("rgb_marched", "alphainv_last"):
+        np.testing.assert_allclose(
+            np.asarray(shared[key]), np.asarray(base[key]),
+            rtol=2e-4, atol=2e-4, err_msg=key)
+
+
+def test_knn_share_cand_equals_k_trainable():
+    """kc = K = 4 on the full toy cloud: the approximation stays small and
+    gradients flow through the fast path."""
+    import dataclasses
+    params, mcfg, state, *_ = _toy_model()
+    base = _fwd(params, mcfg, state)
+    mcfg_s = dataclasses.replace(mcfg, knn_share=4, knn_cand=4)
+    shared = _fwd(params, mcfg_s, state)
+    diff = np.abs(np.asarray(shared["rgb_marched"])
+                  - np.asarray(base["rgb_marched"]))
+    assert np.isfinite(np.asarray(shared["rgb_marched"])).all()
+    assert diff.mean() < 0.03, diff.mean()
+
+    def loss_fn(p):
+        out = _fwd(p, mcfg_s, state)
+        return (out["rgb_marched"] ** 2).mean()
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gsum = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads, 0.0)
+    assert np.isfinite(gsum) and gsum > 0
+
+
 def test_fused_group_sampler_matches_legacy_pair(monkeypatch):
     """_sample_groups_fused (positions only for selected groups, midpoint
     reps, tighter prefilter bound) vs the sample_rays_compact +
