@@ -31,8 +31,8 @@ B_ROWS = 512      # update rows per DMA block
 SUB = 128         # lane width; B_ROWS // SUB sub-blocks per DMA block
 
 
-def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
-                  upd_scr, sems):
+def _accum_kernel(C_PAD, bf16_rows, offs_ref, idx_hbm, updt_hbm, out_ref,
+                  idx_scr, upd_scr, sems):
     w = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -96,11 +96,19 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
                 # 3-splits BOTH operands. [W, C] output order so the
                 # wrapper needs no transposes.
                 u = upd_scr[slot, :, s * SUB:(s + 1) * SUB]
-                u_hi = u.astype(jnp.bfloat16)
-                r1 = u - u_hi.astype(jnp.float32)
-                u_mid = r1.astype(jnp.bfloat16)
-                u_lo = (r1 - u_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                for u_part in (u_hi, u_mid, u_lo):
+                if bf16_rows:
+                    # lossy mode (APNERF_SCATTER_BF16): rows arrive already
+                    # bf16-rounded — ONE matmul pass (accumulation stays
+                    # fp32) and half the update DMA bytes
+                    u_parts = (u,)
+                else:
+                    u_hi = u.astype(jnp.bfloat16)
+                    r1 = u - u_hi.astype(jnp.float32)
+                    u_mid = r1.astype(jnp.bfloat16)
+                    u_lo = (r1 - u_mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    u_parts = (u_hi, u_mid, u_lo)
+                for u_part in u_parts:
                     acc = acc + jax.lax.dot_general(
                         onehot, u_part,
                         dimension_numbers=(((0,), (1,)), ((), ())),
@@ -114,7 +122,16 @@ def _accum_kernel(C_PAD, offs_ref, idx_hbm, updt_hbm, out_ref, idx_scr,
 @functools.partial(jax.jit, static_argnames=("n_rows",))
 def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     """Accumulate ``upd_sorted [M, C]`` into ``out [n_rows, C]`` at row
-    indices ``idx_sorted [M]`` (ascending, in [0, n_rows))."""
+    indices ``idx_sorted [M]`` (ascending, in [0, n_rows)).
+
+    APNERF_SCATTER_BF16=1 (default 0) streams the update rows bf16 and
+    accumulates in ONE matmul pass instead of the exact 3-way split:
+    half the update DMA bytes and a third of the one-hot MXU work, at
+    bf16 rounding of each contribution (the accumulator stays fp32).
+    Lossy — gate any production use on the pipeline PSNR tests.
+    """
+    import os
+    bf16_rows = os.environ.get("APNERF_SCATTER_BF16", "0") == "1"
     M = idx_sorted.shape[0]
     C = upd_sorted.shape[1]
     C_PAD = max(16, ((C + 7) // 8) * 8)
@@ -129,8 +146,9 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
         [idx_sorted.astype(jnp.int32),
          jnp.full((mpad,), rows_pad, jnp.int32)])
     # contiguous per-chunk update blocks: [n_blk, C_PAD, B_ROWS]
-    updt = jnp.zeros((M + mpad, C_PAD), jnp.float32)
-    updt = updt.at[:M, :C].set(upd_sorted.astype(jnp.float32))
+    u_dt = jnp.bfloat16 if bf16_rows else jnp.float32
+    updt = jnp.zeros((M + mpad, C_PAD), u_dt)
+    updt = updt.at[:M, :C].set(upd_sorted.astype(u_dt))
     updt = jnp.transpose(updt.reshape(n_blk, B_ROWS, C_PAD), (0, 2, 1))
     idx_blocks = idx_p.reshape(-1, SUB)
 
@@ -149,13 +167,13 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, B_ROWS // SUB, SUB), jnp.int32),
-            pltpu.VMEM((2, C_PAD, B_ROWS), jnp.float32),
+            pltpu.VMEM((2, C_PAD, B_ROWS), u_dt),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     from .knn_pallas import _interpret_mode
     out_t = pl.pallas_call(
-        functools.partial(_accum_kernel, C_PAD),
+        functools.partial(_accum_kernel, C_PAD, bf16_rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_sup, SUPER * W_CELLS, C_PAD),
                                        jnp.float32),

@@ -159,6 +159,28 @@ def test_scatter_kernel_interpret_matches_numpy():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_scatter_kernel_bf16_rows_close(monkeypatch):
+    """APNERF_SCATTER_BF16=1 (lossy single-pass mode): each contribution is
+    bf16-rounded before the fp32 accumulation, so the result must match the
+    exact scatter within bf16 relative tolerance of the summed magnitude."""
+    monkeypatch.setenv("APNERF_SCATTER_BF16", "1")
+    # fresh process-level jit cache entry: the env is read at trace time,
+    # and the exact test above may have traced the same shapes already
+    from apnerf.kernels import scatter_pallas as sp
+    sp.sorted_window_accumulate._clear_cache()
+    rng = np.random.default_rng(5)
+    M, C, n_rows = 4096, 8, 3000
+    idx = np.sort(rng.integers(0, n_rows, M)).astype(np.int32)
+    upd = rng.normal(size=(M, C)).astype(np.float32)
+    out = np.asarray(sp.sorted_window_accumulate(jnp.asarray(idx),
+                                                 jnp.asarray(upd), n_rows))
+    ref = np.zeros((n_rows, C), np.float32)
+    np.add.at(ref, idx, upd.astype(np.float32))
+    scale = np.abs(upd).sum() / n_rows + 1.0
+    np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.02 * scale)
+    sp.sorted_window_accumulate._clear_cache()
+
+
 def test_featmlp_interpret_matches_xla():
     """featmlp_agg (PE + MLP + weighted K-reduce) vs the XLA bf16
     formulation, incl. pose-embedding bias folding and row padding."""
