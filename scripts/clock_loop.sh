@@ -31,7 +31,21 @@ newest_mtime() {
   echo "$best"
 }
 
+probe_tunnel() {
+  timeout 240 python -c "
+import numpy as np, jax
+np.asarray(jax.numpy.ones((8, 8)).sum())
+print('tunnel ok', flush=True)
+" >> "$LOG" 2>&1
+}
+
 for i in $(seq 1 "$MAX_TRIES"); do
+  # don't start (or restart) the trainer into a dead tunnel: backend init
+  # HANGS rather than erroring, which burns a full watchdog cycle
+  until probe_tunnel; do
+    echo "[clock_loop] tunnel down $(date -u +%FT%TZ) — waiting 120s" >> "$LOG"
+    sleep 120
+  done
   echo "=== clock_loop invocation $i $(date -u +%FT%TZ) ===" >> "$LOG"
   timeout 5400 python scripts/train_clock.py >> "$LOG" 2>&1 &
   pid=$!
