@@ -190,6 +190,17 @@ def load_temporalpoints(path):
 
 
 def main(argv=None):
+    # Persistent compile cache: stage programs take 300-500 s to compile at
+    # 160^3 scale, and the axon tunnel can drop mid-run, so resumed runs must
+    # not pay that again. NOTE the JAX_COMPILATION_CACHE_DIR env var is NOT
+    # honoured by this JAX build (verified: config stays None) — only an
+    # explicit config update works, hence doing it here for every CLI run.
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("APNERF_JAXCACHE", "/tmp/apnerf_jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     args = config_parser().parse_args(argv)
     cfg = load_config(args.config)
     seed_everything(args.seed)

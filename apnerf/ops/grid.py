@@ -12,6 +12,7 @@ for feeding the 128-lane MLPs downstream).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -135,7 +136,7 @@ def _corner_gather_bwd(dims, res, g):
     # d/dgrid: base-cell binned accumulation
     upd = (g[:, None, :] * w[:, :, None]).reshape(M, 8 * C)
     from .knn import _tpu_default
-    if _tpu_default():
+    if _tpu_default() and os.environ.get("APNERF_SCATTER", "1") == "1":
         from ..kernels.scatter_pallas import sorted_window_accumulate
         ex, ey, ez = sx + 1, sy + 1, sz + 1
         order = jnp.argsort(lin_ext)

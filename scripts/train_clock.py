@@ -81,7 +81,9 @@ def _progress_mtime(run_dir):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/apnerf_jaxcache")
+    # cli.main() enables the persistent compile cache (the env-var route
+    # does NOT work on this JAX build — see the note there); nothing to do
+    # here beyond importing late enough that CPU smoke overrides apply.
     from apnerf.data.synthetic import generate_scene
     from apnerf import cli
 
