@@ -86,6 +86,18 @@ def _pack8_gather(dims, grid_flat, lin_ext):
         [gp[dx:dx + ex, dy:dy + ey, dz:dz + ez]
          for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
         axis=-1).reshape(ex * ey * ez, 8 * C)
+    # KNOWN libtpu HAZARD: inside large *training* programs this path
+    # kills the TPU worker at some grid shapes — first seen at
+    # (140,140,104)x12, the num_voxels/2 pg_scale segment of the 400x400
+    # train-clock (the round-4 "non-pow2 budget" diagnosis was this same
+    # fault; the budget change merely reshuffled the compile). Bisect
+    # evidence (scripts/repro_pg1600.py, on-chip 2026-08-20): the same
+    # shapes are green in small programs (scale_volume_grid, occupancy)
+    # and green with APNERF_PACK8=0; an optimization_barrier fence after
+    # P does NOT dodge it, so it is not the pad+slice+concat fusion.
+    # The swept/benched 160^3 family is green. Mitigation: training runs
+    # whose pg_scale schedule crosses unswept shapes set APNERF_PACK8=0
+    # (scripts/train_clock.py does); render/bench paths are unaffected.
     vals8 = P[lin_ext]                                 # [M, 8C] bf16
     return vals8.reshape(-1, 8, C).astype(jnp.float32)
 

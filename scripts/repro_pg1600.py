@@ -123,6 +123,56 @@ def main():
 
     Ks_dev = jnp.asarray(data_dict["Ks"])
     poses_dev = jnp.asarray(data_dict["poses"])
+
+    def make_batch():
+        sel = next(gen)
+        rgb, mval, tval, cam, pix = ray_index.gather(sel)
+        return {
+            "rgb": jnp.asarray(rgb, jnp.float32),
+            "mask": jnp.asarray(mval, jnp.float32),
+            "time": jnp.asarray(tval, jnp.float32),
+            "cam": jnp.asarray(cam, jnp.int32),
+            "pix": jnp.asarray(pix, jnp.int32),
+        }
+
+    if PHASE in ("f", "g"):
+        # forward-only / grad-only variants of the same loss at the same
+        # shapes — pinpoints whether the fault is in the forward pipeline,
+        # the backward, or only the full fused train step
+        from apnerf.data import rays as raydata2
+        from apnerf.models import tineuvox as tnv
+        from apnerf.ops import marching
+
+        stepsize_ = stepsize
+        n_s_ = n_s
+
+        def loss_fn(params, batch):
+            ro, rd, vd = raydata.pixels_to_rays(
+                Ks_dev, poses_dev, batch["cam"], batch["pix"], H, W,
+                inverse_y=cfg.data.inverse_y, flip_x=cfg.data.flip_x,
+                flip_y=cfg.data.flip_y)
+            res = tnv.forward(params, model_cfg, ro, rd, vd,
+                              batch["time"][:, None], data_dict["near"],
+                              data_dict["far"], stepsize_,
+                              float(cfg_train["bg_col"]), n_s_,
+                              occ_grid=occ, active_budget=budget)
+            return jnp.mean((res["rgb_marched"] - batch["rgb"]) ** 2)
+
+        if PHASE == "f":
+            fn = jax.jit(loss_fn)
+        else:
+            fn = jax.jit(jax.grad(loss_fn))
+        for i in range(N_STEPS):
+            t = time.time()
+            out = fn(params, make_batch())
+            s = float(np.asarray(jax.tree_util.tree_reduce(
+                lambda a, x: a + x.astype(jnp.float32).sum(), out,
+                jnp.float32(0.0))))
+            print(f"[repro] {PHASE}: step {i} -> {s:.6f} "
+                  f"({time.time() - t:.1f}s)", flush=True)
+        print("[repro] PASS", flush=True)
+        return
+
     step_fn = stage1.make_train_step(
         model_cfg, cfg_train, optimizer, Ks_dev, poses_dev, H, W,
         data_dict["near"], data_dict["far"], float(cfg_train["bg_col"]),
@@ -130,15 +180,7 @@ def main():
         flip_y=cfg.data.flip_y, use_occupancy=True, active_budget=budget)
 
     for i in range(N_STEPS):
-        sel = next(gen)
-        rgb, mval, tval, cam, pix = ray_index.gather(sel)
-        batch = {
-            "rgb": jnp.asarray(rgb, jnp.float32),
-            "mask": jnp.asarray(mval, jnp.float32),
-            "time": jnp.asarray(tval, jnp.float32),
-            "cam": jnp.asarray(cam, jnp.int32),
-            "pix": jnp.asarray(pix, jnp.int32),
-        }
+        batch = make_batch()
         t = time.time()
         params, opt_state, loss, mse = step_fn(params, opt_state, batch,
                                                jnp.float32(1.0), occ,

@@ -38,6 +38,13 @@ _plat = os.environ.get("APNERF_CLOCK_PLATFORM")
 if _plat:
     os.environ["JAX_PLATFORMS"] = _plat
 
+# The pg_scale schedule crosses grid shapes outside the swept-green 160^3
+# family, where the packed-8-corner gather kills the TPU worker inside the
+# training program (bisect: scripts/repro_pg1600.py, apnerf/ops/grid.py
+# _pack8_gather docstring). Per-corner gathers are verified green at the
+# exact crash site; ~0.59 vs 0.35 s/step at 160^3 is the known cost.
+os.environ.setdefault("APNERF_PACK8", "0")
+
 WORK = os.environ.get("APNERF_CLOCK_DIR", "/tmp/apnerf_clock")
 S1_ITERS = int(os.environ.get("APNERF_CLOCK_S1", "8000"))
 S2_ITERS = int(os.environ.get("APNERF_CLOCK_S2", "6000"))
