@@ -63,6 +63,8 @@ run_step stage2_featmlp_on 2400 env APNERF_FEATMLP=1 python scripts/profile_stag
 run_step stage2_featmlp_off 2400 env APNERF_FEATMLP=0 python scripts/profile_stage2.py
 run_step stage1_default 2400 python scripts/bench_stage1.py
 run_step stage1_scatter_bf16 2400 env APNERF_SCATTER_BF16=1 python scripts/bench_stage1.py
+run_step stage1_profile 2400 python scripts/profile_stage1.py
+run_step stage1_components 1800 python scripts/profile_stage1c.py
 run_step tpu_kernels 2400 env APNERF_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
 run_step compile_sweep 5400 python scripts/compile_sweep.py
 say "battery complete"

@@ -25,6 +25,10 @@ CASES = [
                          "APNERF_BENCH_CHUNK": "16384"}),
     ("exact_chunk16k", {"APNERF_KNN_SHARE": "1",
                         "APNERF_BENCH_CHUNK": "16384"}),
+    ("s16c8_chunk32k", {"APNERF_KNN_SHARE": "16", "APNERF_KNN_CAND": "8",
+                        "APNERF_BENCH_CHUNK": "32768"}),
+    ("exact_chunk32k", {"APNERF_KNN_SHARE": "1",
+                        "APNERF_BENCH_CHUNK": "32768"}),
 ]
 
 KNOBS = ("APNERF_KNN_SHARE", "APNERF_KNN_CAND", "APNERF_COARSE_STRIDE",
