@@ -187,6 +187,18 @@ pcd_train_config = dict(N_iters={S2_ITERS}, full_t_iter={S2_ITERS // 2}{nrand2})
     s1_psnr, _ = _psnr_of("fine_last")
     test_psnr, results = _psnr_of("temporalpoints_last")
 
+    # At-scale quality gates at measured-minus-1dB (VERDICT r4 #1 done
+    # criteria). The 2026-08-20 run measured 34.80 dB (stage-1 backbone) /
+    # 26.54 dB (temporalpoints) held-out test PSNR at 4000/3000 iters;
+    # any future full-scale run below the gate means a quality regression,
+    # not noise (the scene and seeds are deterministic). Gated only at
+    # >= the measured iteration counts; shorter smoke runs skip.
+    if (os.environ.get("APNERF_CLOCK_SMOKE") != "1"
+            and S1_ITERS >= 4000 and S2_ITERS >= 3000):
+        assert s1_psnr > 33.8, f"stage-1 test PSNR regressed: {s1_psnr:.2f}"
+        assert test_psnr > 25.5, (
+            f"temporalpoints test PSNR regressed: {test_psnr:.2f}")
+
     t_scene = st["t_scene"] or 0.0
     t_eval = st["t_eval"] or 0.0
     # productive train wall = all segments minus scene gen and eval (which
