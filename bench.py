@@ -46,11 +46,13 @@ def build_model(P=10_000, J=24, F=128):
         act_shift=float(np.log(1 / (1 - 1e-3) - 1)),
         fast_color_thres=1e-4, sample_budget=96, max_steps=512,
         # subgroup-shared KNN render defaults (docs/performance.md): the
-        # round-3 TPU A/B measured share16/cand12 at coarse_stride 32 =
-        # 500k rays/s at 52.8 dB PSNR vs the exact-KNN render (gate:
-        # >= 50 dB, PERF.md round-3 share sweep); env knobs for A/B
+        # round-5 TPU sweep (scripts/sweep_r5.py, PERF.md) measured
+        # share16/cand8 at coarse_stride 32 = 752.7k rays/s at 59.9 dB
+        # PSNR vs the exact-KNN render (gate: >= 50 dB, asserted below).
+        # cand8 == K engages the rank-free fast path (no rank mask, no
+        # compaction einsums); env knobs for A/B
         knn_share=int(os.environ.get("APNERF_KNN_SHARE", "16")),
-        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "10")),
+        knn_cand=int(os.environ.get("APNERF_KNN_CAND", "8")),
         coarse_stride=int(os.environ.get("APNERF_COARSE_STRIDE", "32")))
 
     k = jax.random.PRNGKey(0)
