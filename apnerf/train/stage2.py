@@ -88,8 +88,11 @@ def build_model(cfg, canonical, skeleton, tineuvox_params,
         # fused_agg (kernels/agg_pallas.py) is forward-only (no VJP), so it
         # stays off in training. featmlp (kernels/featmlp_pallas.py) HAS a
         # custom VJP (forward kernel + XLA-recompute backward, remat-style)
-        # and can be opted in for training via the scene config; default
-        # off until the fwd-speed-vs-recompute trade is measured on-chip.
+        # and can be opted in for training via the scene config; measured
+        # on-chip 2026-08-20 (PERF.md round 5): the recompute makes the
+        # full train step SLOWER (28.6 vs 24.8 ms at 8192 rays), so the
+        # default stays OFF — the kernel's win is render-forward-only
+        # (3.80 vs 4.04 ms) plus ~1.9 GB peak-HBM savings.
         # The CLI re-enables both at render time (render-perf knobs follow
         # the config, cli.py).
         fused_agg=False,
