@@ -228,7 +228,9 @@ def main(argv=None):
         mesh = make_mesh(args.render_devices)
         print(f"render: rays-DP over {mesh.devices.size} devices")
 
-    if not args.render_pcd:
+    # repose is a point-model feature (reference run.py:1355-1396): loading
+    # the stage-2 checkpoint is implied, with or without --render_pcd
+    if not (args.render_pcd or args.repose_pcd):
         from .models import tineuvox as tnv
         payload = ckpt.load_checkpoint(os.path.join(save_path, "fine_last.pkl"))
         mcfg = tnv.TiNeuVoxConfig(**payload["model_kwargs"])
