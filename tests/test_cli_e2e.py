@@ -72,3 +72,13 @@ pcd_train_config = dict(N_iters=8, N_rand=64, full_t_iter=6)
             + glob.glob(os.path.join(rep_dir, "*.gif")))
     assert vids, os.listdir(rep_dir)
     assert os.path.isfile(os.path.join(run_dir, "canonical_skeleton.png"))
+
+    # --repose_pcd WITHOUT --render_pcd must imply the point model
+    # (regression: it used to take the backbone branch and crash on an
+    # unbound params)
+    for f in glob.glob(os.path.join(rep_dir, "img_*.png")):
+        os.remove(f)
+    cli.main(["--config", str(cfg_file), "--render_only", "--repose_pcd",
+              "--i_print", "5", "--i_save", "1000"])
+    assert glob.glob(os.path.join(rep_dir, "img_*.png")), \
+        os.listdir(rep_dir)
