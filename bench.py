@@ -53,7 +53,13 @@ def build_model(P=10_000, J=24, F=128):
         # compaction einsums); env knobs for A/B
         knn_share=int(os.environ.get("APNERF_KNN_SHARE", "16")),
         knn_cand=int(os.environ.get("APNERF_KNN_CAND", "8")),
-        coarse_stride=int(os.environ.get("APNERF_COARSE_STRIDE", "32")))
+        coarse_stride=int(os.environ.get("APNERF_COARSE_STRIDE", "32")),
+        # budget-fraction A/B knobs (scripts/sweep_r5.py): the defaults
+        # carry the dataclass values; the round-3 audit measured only ~23%
+        # of active samples passing the radius cutoff vs the 0.30 budget
+        active_fraction=float(os.environ.get("APNERF_ACTIVE_FRACTION",
+                                             "0.30")),
+        pass_fraction=float(os.environ.get("APNERF_PASS_FRACTION", "0.30")))
 
     k = jax.random.PRNGKey(0)
     ks = jax.random.split(k, 3)

@@ -31,8 +31,24 @@ CASES = [
                         "APNERF_BENCH_CHUNK": "32768"}),
 ]
 
+# pass-fraction sweep (round-5 part 2): the radius-cutoff pass budget is
+# 0.30 of active but only ~23% pass (round-3 audit) — the padding inflates
+# selection queries, candidate gathers and the aggregation MLP in BOTH
+# modes. Gate vs the exact pf=0.30 reference like every other knob.
+PF_CASES = [
+    ("exact_pf30_ref", {"APNERF_KNN_SHARE": "1"}),
+    ("exact_pf25", {"APNERF_KNN_SHARE": "1", "APNERF_PASS_FRACTION": "0.25"}),
+    ("s16c8_pf25", {"APNERF_KNN_SHARE": "16", "APNERF_KNN_CAND": "8",
+                    "APNERF_PASS_FRACTION": "0.25"}),
+    ("exact_af25", {"APNERF_KNN_SHARE": "1",
+                    "APNERF_ACTIVE_FRACTION": "0.25"}),
+    ("s16c8_af25", {"APNERF_KNN_SHARE": "16", "APNERF_KNN_CAND": "8",
+                    "APNERF_ACTIVE_FRACTION": "0.25"}),
+]
+
 KNOBS = ("APNERF_KNN_SHARE", "APNERF_KNN_CAND", "APNERF_COARSE_STRIDE",
-         "APNERF_BENCH_CHUNK")
+         "APNERF_BENCH_CHUNK", "APNERF_PASS_FRACTION",
+         "APNERF_ACTIVE_FRACTION")
 
 
 def main():
@@ -47,7 +63,9 @@ def main():
     benchmod._probe_backend()
 
     ref_img = None
-    for name, env in CASES:
+    cases = (PF_CASES if os.environ.get("APNERF_SWEEP_SET") == "pf"
+             else CASES)
+    for name, env in cases:
         for k in KNOBS:
             os.environ.pop(k, None)
         os.environ.update(env)
