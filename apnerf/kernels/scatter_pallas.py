@@ -31,8 +31,8 @@ B_ROWS = 512      # update rows per DMA block
 SUB = 128         # lane width; B_ROWS // SUB sub-blocks per DMA block
 
 
-def _accum_kernel(C_PAD, bf16_rows, offs_ref, idx_hbm, updt_hbm, out_ref,
-                  idx_scr, upd_scr, sems):
+def _accum_kernel(C_PAD, bf16_rows, transposed, offs_ref, idx_hbm, updt_hbm,
+                  out_ref, idx_scr, upd_scr, sems):
     w = pl.program_id(0)
     out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -78,51 +78,80 @@ def _accum_kernel(C_PAD, bf16_rows, offs_ref, idx_hbm, updt_hbm, out_ref,
             a.wait()
             b.wait()
             r0 = i * B_ROWS
-            acc = jnp.zeros((W_CELLS, C_PAD), jnp.float32)
             for s in range(B_ROWS // SUB):
-                rows = (r0 + s * SUB
-                        + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1),
-                                                   0)[:, 0])
-                ok = (rows >= start) & (rows < end)
-                col = idx_scr[slot, s, :] - base
-                onehot = ((jax.lax.broadcasted_iota(jnp.int32,
-                                                    (SUB, W_CELLS), 1)
-                           == col[:, None]) & ok[:, None]
-                          ).astype(jnp.bfloat16)
-                # Exact 0/1 matmul in 3 bf16 passes: the one-hot factor is
-                # exact in bf16, and the fp32 update splits exactly into
-                # hi+mid+lo bf16 terms (each residual subtraction is exact
-                # in fp32). Half the passes of Precision.HIGHEST, which
-                # 3-splits BOTH operands. [W, C] output order so the
-                # wrapper needs no transposes.
-                u = upd_scr[slot, :, s * SUB:(s + 1) * SUB]
-                if bf16_rows:
-                    # lossy mode (APNERF_SCATTER_BF16): rows arrive already
-                    # bf16-rounded — ONE matmul pass (accumulation stays
-                    # fp32) and half the update DMA bytes
-                    u_parts = (u,)
-                else:
-                    u_hi = u.astype(jnp.bfloat16)
-                    r1 = u - u_hi.astype(jnp.float32)
-                    u_mid = r1.astype(jnp.bfloat16)
-                    u_lo = (r1 - u_mid.astype(jnp.float32)).astype(
-                        jnp.bfloat16)
-                    u_parts = (u_hi, u_mid, u_lo)
-                for u_part in u_parts:
-                    acc = acc + jax.lax.dot_general(
-                        onehot, u_part,
-                        dimension_numbers=(((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            out_ref[0, sw * W_CELLS:(sw + 1) * W_CELLS, :] += acc
+                r0s = r0 + s * SUB
+
+                # skip sub-blocks with no rows in this window: the sorted
+                # stream concentrates (avg ~M/n_win rows per 1024-cell
+                # window at stage-1 scale), so ~3 of 4 sub-blocks of the
+                # window's chunk are irrelevant — and the kernel is
+                # MXU-bound on the one-hot matmuls, which otherwise run on
+                # all-masked rows (measured: 26.6 -> ~7 ms at 162^3 x 96)
+                @pl.when((r0s < end) & (r0s + SUB > start))
+                def _(s=s, r0s=r0s):
+                    rows = (r0s
+                            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 1),
+                                                       0)[:, 0])
+                    ok = (rows >= start) & (rows < end)
+                    col = idx_scr[slot, s, :] - base
+                    onehot = ((jax.lax.broadcasted_iota(jnp.int32,
+                                                        (SUB, W_CELLS), 1)
+                               == col[:, None]) & ok[:, None]
+                              ).astype(jnp.bfloat16)
+                    # Exact 0/1 matmul in 3 bf16 passes: the one-hot factor
+                    # is exact in bf16, and the fp32 update splits exactly
+                    # into hi+mid+lo bf16 terms (each residual subtraction
+                    # is exact in fp32). Half the passes of
+                    # Precision.HIGHEST, which 3-splits BOTH operands.
+                    u = upd_scr[slot, :, s * SUB:(s + 1) * SUB]
+                    if bf16_rows:
+                        # lossy mode (APNERF_SCATTER_BF16): rows arrive
+                        # already bf16-rounded — ONE matmul pass
+                        # (accumulation stays fp32), half the update DMA
+                        u_parts = (u,)
+                    else:
+                        u_hi = u.astype(jnp.bfloat16)
+                        r1 = u - u_hi.astype(jnp.float32)
+                        u_mid = r1.astype(jnp.bfloat16)
+                        u_lo = (r1 - u_mid.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        u_parts = (u_hi, u_mid, u_lo)
+                    if transposed:
+                        # [C, W] accumulation: the wrapper exposes the
+                        # accumulator as [8C, rows], so the corner reduce
+                        # reads 8 CONTIGUOUS channel-block streams instead
+                        # of 48-byte strided runs (R4 vs R0,
+                        # scripts/profile_reduce.py: 6.3 vs 13.5 ms)
+                        acc = jnp.zeros((C_PAD, W_CELLS), jnp.float32)
+                        for u_part in u_parts:
+                            acc = acc + jax.lax.dot_general(
+                                u_part, onehot,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        out_ref[:, sw * W_CELLS:(sw + 1) * W_CELLS] += acc
+                    else:
+                        acc = jnp.zeros((W_CELLS, C_PAD), jnp.float32)
+                        for u_part in u_parts:
+                            acc = acc + jax.lax.dot_general(
+                                onehot, u_part,
+                                dimension_numbers=(((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        out_ref[0, sw * W_CELLS:(sw + 1) * W_CELLS, :] += acc
             return 0
 
         jax.lax.fori_loop(c0, c1, chunk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows",))
-def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
+@functools.partial(jax.jit, static_argnames=("n_rows", "transposed"))
+def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int,
+                             transposed: bool = False):
     """Accumulate ``upd_sorted [M, C]`` into ``out [n_rows, C]`` at row
     indices ``idx_sorted [M]`` (ascending, in [0, n_rows)).
+
+    ``transposed=True`` returns ``out [C, n_rows]`` instead — written in
+    that layout by the kernel (no XLA transpose), so a consumer slicing
+    channel blocks (the 8-corner grid-gradient reduce, ops/grid.py) reads
+    contiguous streams instead of 48-byte strided runs.
 
     APNERF_SCATTER_BF16=1 (default 0) streams the update rows bf16 and
     accumulates in ONE matmul pass instead of the exact 3-way split:
@@ -155,6 +184,17 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     bounds = jnp.arange(n_win_pad + 1, dtype=jnp.int32) * W_CELLS
     offsets = jnp.searchsorted(idx_p[:M], bounds, side="left").astype(jnp.int32)
 
+    if transposed:
+        out_spec = pl.BlockSpec((C_PAD, SUPER * W_CELLS),
+                                lambda w, offs: (0, w),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C_PAD, rows_pad), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((1, SUPER * W_CELLS, C_PAD),
+                                lambda w, offs: (w, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_sup, SUPER * W_CELLS, C_PAD),
+                                         jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_sup,),
@@ -162,9 +202,7 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, SUPER * W_CELLS, C_PAD),
-                               lambda w, offs: (w, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, B_ROWS // SUB, SUB), jnp.int32),
             pltpu.VMEM((2, C_PAD, B_ROWS), u_dt),
@@ -173,12 +211,14 @@ def sorted_window_accumulate(idx_sorted, upd_sorted, n_rows: int):
     )
     from .knn_pallas import _interpret_mode
     out_t = pl.pallas_call(
-        functools.partial(_accum_kernel, C_PAD, bf16_rows),
+        functools.partial(_accum_kernel, C_PAD, bf16_rows, transposed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_sup, SUPER * W_CELLS, C_PAD),
-                                       jnp.float32),
+        out_shape=out_shape,
         interpret=_interpret_mode(),
     )(offsets, idx_blocks, updt)
+    if transposed:
+        # [C_PAD, rows_pad] -> [C, n_rows]
+        return out_t[:C, :n_rows]
     # [n_sup, SUPER*W, C_PAD] -> [rows_pad, C_PAD] -> [n_rows, C]
     return out_t.reshape(rows_pad, C_PAD)[:n_rows, :C]
 

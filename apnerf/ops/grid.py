@@ -156,24 +156,26 @@ def _corner_gather_bwd(dims, res, g):
 
         def accum_chunk(upd_c, Cc):
             """One extended-grid accumulation + 8-corner reduce for a chunk
-            of Cc channels (bounds the [ex*ey*ez, 8*Cc] buffer — at 36
+            of Cc channels (bounds the [8*Cc, ex*ey*ez] buffer — at 36
             channels a single pass would need ~5 GB)."""
+            # TRANSPOSED accumulator [8*Cc, n_cells]: each packed corner's
+            # channel block is a contiguous stream, so the shifted-slice
+            # reduce below reads full-bandwidth runs instead of 48-byte
+            # strided runs (measured 6.3 vs 13.5 ms at 162^3 x 96,
+            # scripts/profile_reduce.py R4 vs R0).
             acc = sorted_window_accumulate(idx_sorted, upd_c,
-                                           ex * ey * ez)
+                                           ex * ey * ez, transposed=True)
             # Reduce the 8 packed corner copies onto their cells with FLAT
-            # row-shifted slices: dgrid[p, c] = sum_k acc[p + off_k,
-            # k*Cc + c] with off_k = ((1-dx)*ey + (1-dy))*ez + (1-dz).
+            # column-shifted slices: dgrid[c, p] = sum_k acc[k*Cc + c,
+            # p + off_k] with off_k = ((1-dx)*ey + (1-dy))*ez + (1-dz).
             # Valid because every read index decomposes in-range per axis
             # (x+1-dx in [0, ex) etc.), so flat offsets never wrap — one
-            # fused pass reading each acc element exactly once (15.4 ms at
-            # 162^3 x 96 vs 68.5 ms for the axis-at-a-time shifted-slice
-            # reduce, whose (4, 2, Cc) trailing dims lane-pad badly, and
-            # 110.8 ms for a one-hot 2x2x2 MXU conv).
+            # fused pass reading each acc element exactly once.
             acc = jax.lax.optimization_barrier(acc)
             n_cells = ex * ey * ez
             maxoff = (ey + 1) * ez + 1
             accp = jnp.concatenate(
-                [acc, jnp.zeros((maxoff, 8 * Cc), jnp.float32)], 0)
+                [acc, jnp.zeros((8 * Cc, maxoff), jnp.float32)], 1)
             red = 0.0
             for dx_ in (0, 1):
                 for dy_ in (0, 1):
@@ -181,8 +183,10 @@ def _corner_gather_bwd(dims, res, g):
                         k = (dx_ * 2 + dy_) * 2 + dz_
                         off = ((1 - dx_) * ey + (1 - dy_)) * ez + (1 - dz_)
                         red = red + jax.lax.dynamic_slice(
-                            accp, (off, k * Cc), (n_cells, Cc))
-            return red.reshape(ex, ey, ez, Cc)[:sx, :sy, :sz].reshape(-1, Cc)
+                            accp, (k * Cc, off), (Cc, n_cells))
+            return red.reshape(Cc, ex, ey, ez)[:, :sx, :sy, :sz
+                                               ].transpose(1, 2, 3, 0
+                                                           ).reshape(-1, Cc)
 
         CG = min(C, 12)                # channel chunk (memory bound)
         if C % CG:

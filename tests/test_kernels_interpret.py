@@ -159,6 +159,85 @@ def test_scatter_kernel_interpret_matches_numpy():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_scatter_kernel_transposed_matches_numpy():
+    """transposed=True returns out [C, n_rows] written in that layout by
+    the kernel (the grid-gradient reduce's contiguous-stream mode)."""
+    from apnerf.kernels.scatter_pallas import sorted_window_accumulate
+    rng = np.random.default_rng(6)
+    M, C, n_rows = 4096, 96, 3000
+    idx = np.sort(rng.integers(0, n_rows, M)).astype(np.int32)
+    upd = rng.normal(size=(M, C)).astype(np.float32)
+    out = np.asarray(sorted_window_accumulate(jnp.asarray(idx),
+                                              jnp.asarray(upd), n_rows,
+                                              transposed=True))
+    assert out.shape == (C, n_rows)
+    ref = np.zeros((n_rows, C), np.float32)
+    np.add.at(ref, idx, upd)
+    np.testing.assert_allclose(out, ref.T, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_backward_scatter_path_interpret(monkeypatch):
+    """The full custom-VJP grid gradient with the Pallas scatter path
+    FORCED (as on TPU: sort + transposed window accumulation + shifted
+    corner reduce) vs plain autodiff of the 8-corner gather."""
+    import jax
+    from apnerf.ops import grid as gridops
+
+    # force the TPU branch decisions inside _corner_gather_bwd (the package
+    # re-exports shadow the submodule, so fetch it from sys.modules)
+    import importlib
+    knnmod = importlib.import_module("apnerf.ops.knn")
+    monkeypatch.setattr(knnmod, "_tpu_default", lambda: True)
+    # ... while keeping the Pallas call itself in interpret mode on CPU
+    kp = importlib.import_module("apnerf.kernels.knn_pallas")
+    monkeypatch.setattr(kp, "_interpret_mode", lambda: True)
+    monkeypatch.setenv("APNERF_SCATTER", "1")
+    monkeypatch.setenv("APNERF_PACK8", "0")   # fwd residual path off-TPU
+
+    rng = np.random.default_rng(7)
+    sx = sy = sz = 9
+    C = 12
+    grid = rng.normal(size=(sx, sy, sz, C)).astype(np.float32)
+    pts = rng.uniform(-1.1, 1.1, size=(2048, 3)).astype(np.float32)
+    xyz_min = jnp.asarray([-1.0, -1.0, -1.0])
+    xyz_max = jnp.asarray([1.0, 1.0, 1.0])
+
+    def loss(g):
+        v = gridops.grid_interp(g, jnp.asarray(pts), xyz_min, xyz_max)
+        return (v * v).sum()
+
+    dg = np.asarray(jax.grad(loss)(jnp.asarray(grid)))
+
+    # reference: plain autodiff through a naive gather interp
+    def interp_ref(g):
+        shape = jnp.asarray(g.shape[:3], jnp.float32)
+        u = (jnp.asarray(pts) - xyz_min) / (xyz_max - xyz_min) * (shape - 1.0)
+        i0f = jnp.floor(u)
+        i0 = i0f.astype(jnp.int32)
+        frac = u - i0f
+        gf = g.reshape(-1, C)
+        out = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    ii = i0 + jnp.asarray([dx, dy, dz])
+                    ok = jnp.all((ii >= 0) & (ii < jnp.asarray(g.shape[:3])),
+                                 axis=-1)
+                    lin = (jnp.clip(ii[:, 0], 0, sx - 1) * sy
+                           + jnp.clip(ii[:, 1], 0, sy - 1)) * sz \
+                        + jnp.clip(ii[:, 2], 0, sz - 1)
+                    w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                         * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                         * jnp.where(dz, frac[:, 2], 1 - frac[:, 2])
+                         * ok.astype(jnp.float32))
+                    out = out + gf[lin] * w[:, None]
+        return out
+
+    dg_ref = np.asarray(jax.grad(
+        lambda g: (interp_ref(g) ** 2).sum())(jnp.asarray(grid)))
+    np.testing.assert_allclose(dg, dg_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_scatter_kernel_bf16_rows_close(monkeypatch):
     """APNERF_SCATTER_BF16=1 (lossy single-pass mode): each contribution is
     bf16-rounded before the fp32 accumulation, so the result must match the
